@@ -1,0 +1,81 @@
+"""Headline benchmark: training-step throughput in rays/sec on one chip.
+
+Measures the reference's exact operating point (lego defaults,
+``configs/renderer/volume_renderer_default.yaml``): 4096 rays/step, 64
+coarse + (64+128) fine samples, two 256-wide NeRF MLPs, full fwd+bwd+Adam —
+i.e. ~1.05M MLP evaluations per step — using the on-device image pool train
+step. Prints ONE JSON line.
+
+``vs_baseline``: the reference publishes no numbers (SURVEY.md §6). The
+denominator is an estimated reference throughput of 40,960 rays/s — 10
+steps/s x 4096 rays for torch-NeRF's unfused per-image pipeline on a
+V100-class GPU (optimistic for the reference; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_RAYS_PER_SEC = 10.0 * 4096.0
+
+
+def main() -> None:
+    from torch_nerf_tpu import train
+    from torch_nerf_tpu.datasets import synthetic
+    from torch_nerf_tpu.fields import make_nerf_field
+    from torch_nerf_tpu.renderer import RenderSettings
+
+    num_pixels = 4096
+    settings = RenderSettings(
+        num_samples_coarse=64, num_samples_fine=128, t_near=2.0, t_far=6.0
+    )
+    compute_dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    field = make_nerf_field(compute_dtype=compute_dtype)
+    optim = train.OptimConfig()
+
+    # lego operating point: 400x400 training images
+    images, poses, camera, _ = synthetic.make_dataset(num_views=8, img_size=400)
+    images_j = jnp.asarray(images)
+    poses_j = jnp.asarray(poses)
+
+    state = train.create_train_state(jax.random.PRNGKey(0), field, settings, optim)
+    step = train.make_image_train_step(
+        field, settings, optim, camera, num_pixels=num_pixels, donate=True
+    )
+
+    key = jax.random.PRNGKey(1)
+
+    # warmup/compile
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, images_j, poses_j, sub)
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 50 if jax.default_backend() != "cpu" else 5
+    start = time.perf_counter()
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, images_j, poses_j, sub)
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - start
+
+    rays_per_sec = num_pixels * iters / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec_per_chip",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s (fwd+bwd, 64c+192f samples, hierarchical NeRF)",
+                "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Tests for the Instant-NGP hash encoding and model, incl. torch parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from torch_nerf_tpu.fields_ngp import make_instant_ngp_field
+from torch_nerf_tpu.models import instant_ngp
+
+
+def test_level_resolutions_geometric():
+    res = instant_ngp.level_resolutions(16, 16, 512)
+    assert res[0] == 16.0
+    assert res[-1] == 512.0
+    assert len(res) == 16
+    assert np.all(np.diff(res) > 0)
+
+
+def test_spatial_hash_matches_torch_semantics():
+    """int32 wraparound multiply + xor + sign-following mod, vs torch."""
+    rng = np.random.default_rng(0)
+    coords = rng.integers(-1000, 1000, size=(256, 3)).astype(np.int32)
+    num_entries = 2**13
+
+    # torch reference semantics (restated from instant_ngp.py:558-568).
+    # Note: the reference's literal 2654435761 only fits int32 by silent
+    # wraparound under its pinned torch==1.11; torch>=2 rejects it, so we
+    # pre-wrap explicitly to reproduce the 1.11 behavior.
+    wrapped_primes = (
+        np.array([1, 2654435761, 805459861], dtype=np.uint64)
+        .astype(np.uint32)
+        .astype(np.int64)
+    )
+    tc = torch.from_numpy(coords)
+    primes = torch.from_numpy(
+        wrapped_primes.astype(np.uint32).view(np.int32)
+    ).reshape(1, 3)
+    x = primes * tc
+    t_idx = torch.bitwise_xor(x[..., 0], x[..., 1])
+    t_idx = torch.bitwise_xor(t_idx, x[..., 2]) % num_entries
+
+    j_idx = instant_ngp.spatial_hash(jnp.asarray(coords), num_entries)
+    np.testing.assert_array_equal(np.asarray(j_idx), t_idx.numpy())
+    assert np.all(np.asarray(j_idx) >= 0)
+
+
+def test_hash_encode_shapes_and_interpolation():
+    key = jax.random.PRNGKey(0)
+    L, logT, F = 4, 10, 2
+    tables = instant_ngp.init_hash_table(key, L, logT, F)
+    res = jnp.asarray(instant_ngp.level_resolutions(L, 4, 32))
+
+    coords = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, size=(32, 3)), jnp.float32)
+    feats = instant_ngp.hash_encode(tables, coords, res)
+    assert feats.shape == (32, L * F)
+    assert np.all(np.isfinite(np.asarray(feats)))
+
+
+def test_hash_encode_integral_coords_zero_feature():
+    """Reference quirk: floor==ceil at integral coords -> all-zero weights."""
+    key = jax.random.PRNGKey(0)
+    tables = instant_ngp.init_hash_table(key, 2, 8, 2)
+    res = jnp.asarray([1.0, 2.0])
+    coords = jnp.asarray([[1.0, 2.0, 3.0]])  # integral at both levels
+    feats = instant_ngp.hash_encode(tables, coords, res)
+    np.testing.assert_allclose(np.asarray(feats), 0.0, atol=1e-12)
+
+
+def test_hash_encode_trilinear_weights_sum():
+    """For non-integral coords the 8 trilinear weights sum to 1."""
+    rng = np.random.default_rng(2)
+    scaled = rng.uniform(0.1, 0.9, size=(16, 3)) + rng.integers(0, 5, (16, 3))
+    floor, ceil = np.floor(scaled), np.ceil(scaled)
+    corners = instant_ngp._CORNERS
+    opposite = floor[:, None, :] + (1 - corners[None]) * (ceil - floor)[:, None, :]
+    w = np.prod(np.abs(opposite - scaled[:, None, :]), axis=-1)
+    np.testing.assert_allclose(w.sum(-1), 1.0, rtol=1e-10)
+
+
+def test_small_mlp_no_relu_after_fc_in():
+    """fc_in output must feed the hidden layer unactivated (reference quirk)."""
+    key = jax.random.PRNGKey(0)
+    params = instant_ngp.init_small_mlp(key, 4, 2, 8, num_hidden_layer=1)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 4)), jnp.float32)
+
+    out = instant_ngp.small_mlp_apply(params, x)
+
+    # manual: h = relu(W1 @ (W0 x + b0) + b1); y = W2 h + b2
+    w0, b0 = np.asarray(params["fc_in"]["w"]), np.asarray(params["fc_in"]["b"])
+    w1, b1 = np.asarray(params["fc_hidden_0"]["w"]), np.asarray(params["fc_hidden_0"]["b"])
+    w2, b2 = np.asarray(params["fc_out"]["w"]), np.asarray(params["fc_out"]["b"])
+    h0 = np.asarray(x) @ w0 + b0  # NOT relu'd
+    h1 = np.maximum(h0 @ w1 + b1, 0)
+    expect = h1 @ w2 + b2
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-6)
+
+
+def test_instant_ngp_apply_density_activation():
+    """sigma = 2^out[...,0] — strictly positive, no ReLU."""
+    key = jax.random.PRNGKey(0)
+    params = instant_ngp.init_instant_ngp_params(
+        key, view_dir_dim=16, num_level=4, log_max_entry_per_level=8
+    )
+    res = jnp.asarray(instant_ngp.level_resolutions(4, 4, 32))
+    pos = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (16, 3)), jnp.float32)
+    dirs = jnp.asarray(np.random.default_rng(1).normal(size=(16, 16)), jnp.float32)
+    sigma, rgb = instant_ngp.instant_ngp_apply(params, pos, dirs, res)
+    assert sigma.shape == (16,)
+    assert rgb.shape == (16, 3)
+    assert np.all(np.asarray(sigma) > 0)
+    assert np.all((np.asarray(rgb) >= 0) & (np.asarray(rgb) <= 1))
+
+
+def test_instant_ngp_field_trains():
+    """Gradient flows through hash tables and both MLPs."""
+    field = make_instant_ngp_field(
+        num_level=4, log_max_entry_per_level=8, min_res=4, max_res=32
+    )
+    params = field.init(jax.random.PRNGKey(0))
+
+    pts = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (8, 4, 3)), jnp.float32)
+    dirs = jnp.asarray(np.random.default_rng(1).normal(size=(8, 4, 3)), jnp.float32)
+
+    def loss(p):
+        sigma, rgb = field.apply(p, pts, dirs)
+        return jnp.mean(rgb) + 1e-3 * jnp.mean(sigma)
+
+    grads = jax.grad(loss)(params)
+    table_grad = np.asarray(grads["tables"])
+    assert np.any(table_grad != 0), "no gradient reached the hash tables"
+    assert np.all(np.isfinite(table_grad))
+    assert np.any(np.asarray(grads["color_mlp"]["fc_in"]["w"]) != 0)

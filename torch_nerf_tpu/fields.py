@@ -1,0 +1,65 @@
+"""Radiance-field abstraction: encode inputs, query the network.
+
+Functional replacement for the reference's scene layer
+(``/root/reference/torch_nerf/src/scene/primitives/cube.py:39-76`` — encode
+position/direction with the registered encoders, flatten, query the network,
+reshape back). Here a field is just a pair of pure functions bundled with its
+static configuration; the renderer composes them inside one jit, so there is
+no flatten/reshape round-trip through HBM — XLA sees the whole
+(encode -> MLP -> composite) chain at once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from torch_nerf_tpu import encoders
+from torch_nerf_tpu.models import nerf as nerf_model
+
+# (params, pts (..., 3), dirs (..., 3)) -> (sigma (...), rgb (..., 3))
+FieldApplyFn = Callable[[Any, jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
+FieldInitFn = Callable[[jax.Array], Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class Field:
+    """A neural radiance field: ``init(key) -> params``; ``apply(params, pts,
+    dirs) -> (sigma, rgb)``. Hashable (function identity) so it can be a
+    static argument of jitted closures."""
+
+    init: FieldInitFn
+    apply: FieldApplyFn
+    name: str = "field"
+
+
+def make_nerf_field(
+    pos_dim: int = 3,
+    view_dir_dim: int = 3,
+    coord_encode_level: int = 10,
+    dir_encode_level: int = 4,
+    include_input: bool = True,
+    feat_dim: int = 256,
+    compute_dtype=jnp.float32,
+) -> Field:
+    """Classic NeRF: positional encoding + the 8-layer MLP.
+
+    Defaults mirror ``configs/signal_encoder/positional_encoding.yaml:1-4``
+    and ``configs/network/nerf.yaml`` (PE levels 10/4 with raw input included
+    -> 63-d coords / 27-d dirs into a 256-wide MLP).
+    """
+    enc_pos_dim = encoders.positional_encoding_dim(pos_dim, coord_encode_level, include_input)
+    enc_dir_dim = encoders.positional_encoding_dim(view_dir_dim, dir_encode_level, include_input)
+
+    def init(key: jax.Array):
+        return nerf_model.init_nerf_params(key, enc_pos_dim, enc_dir_dim, feat_dim)
+
+    def apply(params, pts: jnp.ndarray, dirs: jnp.ndarray):
+        pos_enc = encoders.positional_encoding(pts, coord_encode_level, include_input)
+        dir_enc = encoders.positional_encoding(dirs, dir_encode_level, include_input)
+        return nerf_model.nerf_apply(params, pos_enc, dir_enc, compute_dtype=compute_dtype)
+
+    return Field(init=init, apply=apply, name="nerf")

@@ -1,0 +1,63 @@
+"""Instant-NGP field: hash-grid encoding + SH view directions.
+
+Wires ``models.instant_ngp`` into the ``Field`` interface the renderer
+consumes, mirroring the reference's scene wiring for the instant-NGP case
+(``/root/reference/torch_nerf/runners/runner_utils.py:616-633``: the coord
+encoder is dropped — raw positions go into the hash table — and the view
+direction passes through the SH encoder).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from torch_nerf_tpu import encoders
+from torch_nerf_tpu.fields import Field
+from torch_nerf_tpu.models import instant_ngp
+
+
+def make_instant_ngp_field(
+    num_level: int = 16,
+    log_max_entry_per_level: int = 19,
+    table_feat_dim: int = 2,
+    min_res: int = 16,
+    max_res: int = 512,
+    density_feat_dim: int = 64,
+    color_feat_dim: int = 64,
+    sh_degree: int = 4,
+    is_hdr: bool = False,
+    compute_dtype=jnp.float32,
+) -> Field:
+    """Defaults mirror ``configs/network/instant_nerf.yaml`` +
+    ``configs/signal_encoder/spherical_harmonics.yaml``."""
+    resolutions = jnp.asarray(
+        instant_ngp.level_resolutions(num_level, min_res, max_res)
+    )
+    view_dir_dim = encoders.sh_encoding_dim(sh_degree)
+
+    def init(key: jax.Array):
+        return instant_ngp.init_instant_ngp_params(
+            key,
+            view_dir_dim=view_dir_dim,
+            num_level=num_level,
+            log_max_entry_per_level=log_max_entry_per_level,
+            table_feat_dim=table_feat_dim,
+            density_feat_dim=density_feat_dim,
+            color_feat_dim=color_feat_dim,
+        )
+
+    def apply(params, pts: jnp.ndarray, dirs: jnp.ndarray):
+        # the reference feeds *unnormalized* ray directions to the SH
+        # encoder (PrimitiveCube passes them straight through, cube.py:61-69)
+        dir_enc = encoders.sh_encoding(dirs, sh_degree)
+        return instant_ngp.instant_ngp_apply(
+            params,
+            pts,
+            dir_enc,
+            resolutions,
+            is_hdr=is_hdr,
+            compute_dtype=compute_dtype,
+        )
+
+    return Field(init=init, apply=apply, name="instant_ngp")

@@ -1,0 +1,89 @@
+"""Observability: metrics logging (JSONL + TensorBoard) and step timing.
+
+Replaces the reference's TensorBoard-only logging
+(``/root/reference/torch_nerf/runners/runner_utils.py:553-566`` and
+``runners/train.py:441-461``) with a dual sink:
+
+* an always-on JSONL stream (``<log_dir>/metrics.jsonl``) — machine-readable,
+  dependency-free, what the benchmark harness consumes;
+* TensorBoard scalars/images when the ``tensorboard`` package is available
+  (same tag names as the reference: ``train/loss``, ``val/psnr``, ...).
+
+Also provides ``StepTimer`` — rays/sec/chip is the framework's first-class
+performance metric (SURVEY.md §5.1), sampled with monotonic wall-clock
+around blocked steps.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class MetricsLogger:
+    def __init__(self, log_dir: str | Path, use_tensorboard: bool = True):
+        self.log_dir = Path(log_dir)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self._jsonl = open(self.log_dir / "metrics.jsonl", "a", buffering=1)
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter  # noqa: PLC0415
+
+                tb_dir = self.log_dir / "tensorboard"
+                tb_dir.mkdir(exist_ok=True)
+                self._tb = SummaryWriter(log_dir=str(tb_dir))
+            except Exception:
+                self._tb = None
+
+    def log_scalars(self, step: int, scalars: Dict[str, float]) -> None:
+        record = {"step": int(step)}
+        record.update({k: float(v) for k, v in scalars.items()})
+        self._jsonl.write(json.dumps(record) + "\n")
+        if self._tb is not None:
+            for key, value in scalars.items():
+                self._tb.add_scalar(key, float(value), int(step))
+
+    def log_image(self, step: int, tag: str, image: np.ndarray) -> None:
+        """image: (H, W, 3) float in [0, 1]."""
+        if self._tb is not None:
+            self._tb.add_image(tag, np.transpose(image, (2, 0, 1)), int(step))
+
+    def close(self) -> None:
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+class StepTimer:
+    """Windowed steps/sec + rays/sec tracker."""
+
+    def __init__(self, rays_per_step: int, window: int = 50):
+        self.rays_per_step = rays_per_step
+        self.window = window
+        self._stamps = []
+
+    def tick(self) -> Optional[Dict[str, float]]:
+        now = time.perf_counter()
+        self._stamps.append(now)
+        if len(self._stamps) <= self.window:
+            return None
+        elapsed = now - self._stamps[-self.window - 1]
+        self._stamps = self._stamps[-self.window - 1 :]
+        steps_per_sec = self.window / elapsed
+        return {
+            "perf/steps_per_sec": steps_per_sec,
+            "perf/rays_per_sec": steps_per_sec * self.rays_per_step,
+        }
+
+
+def save_png(path: str | Path, image: np.ndarray) -> None:
+    """Write an (H, W, 3) float [0,1] image as PNG."""
+    from PIL import Image  # noqa: PLC0415
+
+    arr = np.clip(np.asarray(image), 0.0, 1.0)
+    Image.fromarray((arr * 255.0 + 0.5).astype(np.uint8)).save(Path(path))

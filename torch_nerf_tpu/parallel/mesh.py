@@ -1,0 +1,176 @@
+"""Device-mesh construction and sharded train steps (DP over rays, TP option).
+
+Design follows the GSPMD recipe: build a named ``Mesh``, annotate arrays with
+``NamedSharding``/``PartitionSpec``, jit the *same* pure train step, and let
+XLA insert the collectives (grad psum over ``data``; per-layer-pair psum over
+``model`` when TP is enabled). Multi-host pods use the identical code after
+``jax.distributed.initialize()`` — the mesh simply spans all processes'
+devices.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from torch_nerf_tpu.fields import Field
+from torch_nerf_tpu.renderer import RenderSettings
+from torch_nerf_tpu.train import OptimConfig, TrainState, make_ray_train_step
+
+# Megatron-style layout for the NeRF MLP trunk: alternating column-parallel
+# (out-dim sharded) and row-parallel (in-dim sharded) linears so each pair
+# needs a single reduction. Heads with awkward dims (fc_8 outputs
+# feat_dim + 1 = 257) stay replicated.
+_COLUMN_PARALLEL = ("fc_in", "fc_2", "fc_4", "fc_6")
+_ROW_PARALLEL = ("fc_1", "fc_3", "fc_5", "fc_7")
+
+
+def make_mesh(
+    axis_names: Tuple[str, ...] = ("data",),
+    shape: Optional[Tuple[int, ...]] = None,
+    devices=None,
+) -> Mesh:
+    """Build a named device mesh over all (or the given) devices.
+
+    Defaults to a 1-D ``data`` (ray) mesh spanning every chip; pass
+    ``axis_names=("data", "model")`` with a 2-D shape for DP x TP.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (devices.size,) if len(axis_names) == 1 else None
+    if shape is None:
+        raise ValueError("shape is required for multi-axis meshes")
+    if int(np.prod(shape)) != devices.size:
+        raise ValueError(f"mesh shape {shape} does not cover {devices.size} devices")
+    return Mesh(devices.reshape(shape), axis_names)
+
+
+def nerf_param_spec(
+    params: Dict[str, Any], model_axis: Optional[str], model_axis_size: int = 1
+) -> Dict[str, Any]:
+    """PartitionSpecs for a NeRF param pytree.
+
+    With ``model_axis=None`` everything is replicated (pure DP). Otherwise
+    the trunk alternates column/row parallel; biases of column-parallel
+    layers shard with their outputs. Layers whose relevant dim is not
+    divisible by the model-axis size (e.g. ``fc_5`` whose input is the
+    ``pos ++ features`` concat, or ``fc_8`` with its 257-wide output) fall
+    back to replicated.
+    """
+
+    def spec_for(layer_name: str, layer_params):
+        if not (isinstance(layer_params, dict) and "w" in layer_params):
+            # non-linear-layer subtree (e.g. instant-ngp hash tables, nested
+            # MLP dicts): replicate every leaf
+            return jax.tree.map(lambda _: P(), layer_params)
+        if model_axis is None:
+            return {"w": P(), "b": P()}
+        w = layer_params["w"]
+        fan_in, fan_out = int(w.shape[0]), int(w.shape[1])
+        if layer_name in _COLUMN_PARALLEL and fan_out % model_axis_size == 0:
+            return {"w": P(None, model_axis), "b": P(model_axis)}
+        if layer_name in _ROW_PARALLEL and fan_in % model_axis_size == 0:
+            return {"w": P(model_axis, None), "b": P()}
+        return {"w": P(), "b": P()}
+
+    out: Dict[str, Any] = {}
+    for branch, branch_params in params.items():  # {"coarse": ..., "fine": ...}
+        out[branch] = {
+            name: spec_for(name, layer) for name, layer in branch_params.items()
+        }
+    return out
+
+
+def _state_shardings(
+    mesh: Mesh, state: TrainState, model_axis: Optional[str]
+) -> TrainState:
+    """NamedShardings for every leaf of the train state.
+
+    Optimizer moments shard exactly like their parameters (optax adam state
+    mirrors the param tree); scalar counters are replicated.
+    """
+    axis_size = int(mesh.shape[model_axis]) if model_axis else 1
+    pspec = nerf_param_spec(state.params, model_axis, axis_size)
+    params_sh = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), pspec, is_leaf=lambda x: isinstance(x, P)
+    )
+
+    # adam state: (ScaleByAdamState(count, mu, nu), schedule_state). mu/nu
+    # mirror the param tree and shard identically; counts are scalars.
+    opt_state_sh = jax.tree.map(
+        lambda leaf: NamedSharding(mesh, P()), state.opt_state
+    )
+    # replace mu/nu shardings with param-like shardings where structure matches
+    try:
+        scale_state = state.opt_state[0]
+        if hasattr(scale_state, "mu") and hasattr(scale_state, "nu"):
+            new_scale = scale_state._replace(
+                count=NamedSharding(mesh, P()),
+                mu=params_sh,
+                nu=params_sh,
+            )
+            opt_state_sh = (new_scale,) + tuple(
+                jax.tree.map(lambda _: NamedSharding(mesh, P()), s)
+                for s in state.opt_state[1:]
+            )
+    except (TypeError, IndexError, AttributeError):
+        pass
+
+    return TrainState(
+        step=NamedSharding(mesh, P()),
+        params=params_sh,
+        opt_state=opt_state_sh,
+    )
+
+
+def replicate_state(
+    mesh: Mesh, state: TrainState, model_axis: Optional[str] = None
+) -> TrainState:
+    """Place a host train state onto the mesh with the chosen sharding."""
+    shardings = _state_shardings(mesh, state, model_axis)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s), state, shardings
+    )
+
+
+def make_sharded_train_step(
+    field: Field,
+    settings: RenderSettings,
+    optim_cfg: OptimConfig,
+    mesh: Mesh,
+    data_axis: str = "data",
+    model_axis: Optional[str] = None,
+):
+    """Jit the ray train step with mesh shardings.
+
+    Rays/targets shard over ``data_axis``; params replicate (or TP-shard over
+    ``model_axis``). Returns ``(step_fn, place_state)`` where ``place_state``
+    maps a host ``TrainState`` onto the mesh. Gradient reduction across data
+    shards is inserted by XLA from the sharding annotations (the psum rides
+    ICI within a slice).
+    """
+    ray_step = make_ray_train_step(field, settings, optim_cfg)
+
+    ray_sharding = NamedSharding(mesh, P(data_axis))
+    key_sharding = NamedSharding(mesh, P())
+
+    def place_state(state: TrainState) -> TrainState:
+        return replicate_state(mesh, state, model_axis)
+
+    def shardings_for(state: TrainState) -> TrainState:
+        return _state_shardings(mesh, state, model_axis)
+
+    def build(state: TrainState):
+        state_sh = shardings_for(state)
+        metrics_sh = None  # let XLA choose for scalar metrics
+        return jax.jit(
+            ray_step,
+            in_shardings=(state_sh, ray_sharding, ray_sharding, ray_sharding, key_sharding),
+            out_shardings=(state_sh, metrics_sh),
+            donate_argnums=(0,),
+        )
+
+    return build, place_state

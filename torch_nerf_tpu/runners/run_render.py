@@ -1,0 +1,86 @@
+"""Rendering CLI: load a trained run, render novel views or test poses.
+
+Mirrors ``/root/reference/torch_nerf/runners/render.py:110-210``: requires a
+``--log-dir`` holding the stored config + checkpoints, renders either the
+dataset's novel-view trajectory (spherical orbit for Blender, spiral for
+LLFF) or the test-set poses (``--render-test-views``), and writes numbered
+PNGs ready for ``scripts/create_video.py``.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torch_nerf_tpu import checkpoints, config as cfg_mod, session, train
+from torch_nerf_tpu.logging_utils import save_png
+from torch_nerf_tpu.renderer import render_image
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Render a trained NeRF.")
+    parser.add_argument("--log-dir", required=True, help="training run directory")
+    parser.add_argument("--out-dir", default=None, help="output PNG directory")
+    parser.add_argument(
+        "--render-test-views",
+        action="store_true",
+        help="render the dataset's poses instead of the novel-view path",
+    )
+    parser.add_argument("--num-views", type=int, default=None, help="cap rendered views")
+    parser.add_argument("overrides", nargs="*", help="dotted key=value overrides")
+    return parser.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    log_dir = Path(args.log_dir)
+    stored = log_dir / "config.yaml"
+    if not stored.exists():
+        raise FileNotFoundError(f"No stored config at {stored}; train first.")
+    cfg = cfg_mod.load_config(stored)
+    cfg_mod.apply_overrides(cfg, args.overrides)
+
+    split = "test" if args.render_test_views else cfg.data.data_type
+    dataset = session.build_dataset(cfg, split=split)
+    settings = session.build_render_settings(cfg, dataset)
+    field = session.build_field(cfg)
+    optim_cfg = session.build_optim_config(cfg)
+
+    template = train.create_train_state(
+        jax.random.PRNGKey(cfg.seed), field, settings, optim_cfg
+    )
+    state = checkpoints.restore_latest(log_dir, template)
+    if state is None:
+        raise FileNotFoundError(f"No checkpoint found under {log_dir}/ckpt.")
+    print(f"Loaded checkpoint at step {int(state.step)}.")
+
+    poses = dataset.poses if args.render_test_views else dataset.render_poses
+    if args.num_views is not None:
+        poses = poses[: args.num_views]
+
+    out_dir = Path(args.out_dir or (log_dir / "render"))
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    for i, pose in enumerate(poses):
+        img = render_image(
+            field,
+            state.params["coarse"],
+            state.params.get("fine"),
+            dataset.camera,
+            jnp.asarray(pose),
+            jax.random.PRNGKey(i),
+            settings,
+            chunk_size=cfg.renderer.num_pixels,
+        )
+        save_png(out_dir / f"{i:04d}.png", np.asarray(img))
+        print(f"rendered view {i + 1}/{len(poses)}")
+
+    print(f"Wrote {len(poses)} frames to {out_dir}.")
+
+
+if __name__ == "__main__":
+    main()

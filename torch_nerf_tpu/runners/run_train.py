@@ -1,0 +1,177 @@
+"""Training CLI.
+
+Usage (mirrors the reference's hydra entry points, SURVEY.md §1.1):
+
+    python -m torch_nerf_tpu.runners.run_train \
+        [--config default|instant_nerf|path.yaml] [--log-dir DIR] \
+        [key=value overrides ...]
+
+Orchestration semantics follow the reference trainer
+(``/root/reference/torch_nerf/runners/train.py:368-499``): epochs of
+``len(dataset)`` optimizer steps; center-crop pixel sampling for the first 10
+epochs; periodic validation (PSNR/SSIM), checkpointing, visualization; resume
+from the stored config + latest checkpoint in ``--log-dir``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torch_nerf_tpu import checkpoints, config as cfg_mod, metrics as metrics_mod
+from torch_nerf_tpu import session, train
+from torch_nerf_tpu.logging_utils import MetricsLogger, StepTimer, save_png
+from torch_nerf_tpu.renderer import render_image
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Train a TPU-native NeRF.")
+    parser.add_argument("--config", default="default", help="preset name or YAML path")
+    parser.add_argument("--log-dir", default=None, help="output/resume directory")
+    parser.add_argument(
+        "--max-steps", type=int, default=None, help="cap total steps (debug)"
+    )
+    parser.add_argument("overrides", nargs="*", help="dotted key=value overrides")
+    return parser.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+
+    log_dir = Path(args.log_dir or f"outputs/{time.strftime('%Y-%m-%d/%H-%M-%S')}")
+    stored_cfg = log_dir / "config.yaml"
+    if stored_cfg.exists():
+        # resume: reload the run's own stored config (runners/train.py:377-386)
+        cfg = cfg_mod.load_config(stored_cfg)
+        cfg_mod.apply_overrides(cfg, args.overrides)
+    else:
+        cfg = cfg_mod.resolve(args.config, args.overrides)
+    cfg.log_dir = str(log_dir)
+    log_dir.mkdir(parents=True, exist_ok=True)
+    cfg_mod.save_config(cfg, stored_cfg)
+
+    dataset = session.build_dataset(cfg, split=cfg.data.data_type)
+    settings = session.build_render_settings(cfg, dataset)
+    field = session.build_field(cfg)
+    optim_cfg = session.build_optim_config(cfg)
+
+    state = train.create_train_state(
+        jax.random.PRNGKey(cfg.seed), field, settings, optim_cfg
+    )
+    restored = checkpoints.restore_latest(log_dir, state)
+    if restored is not None:
+        state = restored
+        print(f"Resumed from step {int(state.step)}.")
+
+    camera = dataset.camera
+    images_j = jnp.asarray(dataset.flat_images())
+    poses_j = jnp.asarray(dataset.poses)
+
+    steps_per_epoch = max(1, dataset.num_views)
+    num_epochs = max(1, optim_cfg.num_iter // steps_per_epoch)
+    total_steps = num_epochs * steps_per_epoch
+    if args.max_steps is not None:
+        total_steps = min(total_steps, args.max_steps)
+
+    step_precrop = train.make_image_train_step(
+        field, settings, optim_cfg, camera, cfg.renderer.num_pixels, precrop=True
+    )
+    step_full = train.make_image_train_step(
+        field, settings, optim_cfg, camera, cfg.renderer.num_pixels, precrop=False
+    )
+
+    logger = MetricsLogger(log_dir)
+    timer = StepTimer(rays_per_step=cfg.renderer.num_pixels)
+    key = jax.random.PRNGKey(cfg.seed + 1)
+
+    val_cfg = cfg.train_params.validation
+    log_cfg = cfg.train_params.log
+
+    start_step = int(state.step)
+    for step_idx in range(start_step, total_steps):
+        epoch = step_idx // steps_per_epoch
+        key, sub = jax.random.split(key)
+        step_fn = step_precrop if epoch < 10 else step_full
+        state, metrics = step_fn(state, images_j, poses_j, sub)
+
+        if (step_idx + 1) % 100 == 0:
+            scalars = {f"train/{k}": float(v) for k, v in metrics.items()}
+            perf = timer.tick()
+            if perf:
+                scalars.update(perf)
+            logger.log_scalars(step_idx + 1, scalars)
+            print(
+                f"step {step_idx + 1}/{total_steps} "
+                + " ".join(f"{k.split('/')[-1]}={v:.5f}" for k, v in scalars.items())
+            )
+        else:
+            timer.tick()
+
+        end_of_epoch = (step_idx + 1) % steps_per_epoch == 0
+        if end_of_epoch:
+            epoch_done = (step_idx + 1) // steps_per_epoch
+            if epoch_done % log_cfg.epoch_btw_ckpt == 0:
+                checkpoints.save_checkpoint(log_dir, state)
+            if epoch_done % val_cfg.validate_every == 0:
+                _validate(
+                    cfg, field, state, camera, dataset, settings, logger, step_idx + 1
+                )
+            if epoch_done % log_cfg.epoch_btw_vis == 0:
+                _visualize(
+                    cfg, field, state, camera, dataset, settings, log_dir, epoch_done
+                )
+
+    checkpoints.save_checkpoint(log_dir, state)
+    logger.close()
+    print(f"Training complete at step {int(state.step)}. Logs in {log_dir}.")
+
+
+def _validate(cfg, field, state, camera, dataset, settings, logger, step) -> None:
+    """Full-image validation with PSNR/SSIM (``runners/train.py:227-366``)."""
+    num_batch = min(cfg.train_params.validation.num_batch, dataset.num_views)
+    psnrs, ssims = [], []
+    for view in range(num_batch):
+        img = render_image(
+            field,
+            state.params["coarse"],
+            state.params.get("fine"),
+            camera,
+            jnp.asarray(dataset.poses[view]),
+            jax.random.PRNGKey(view),
+            settings,
+            chunk_size=cfg.renderer.num_pixels,
+        )
+        pred = np.clip(np.asarray(img), 0.0, 1.0)
+        gt = dataset.images[view]
+        psnrs.append(metrics_mod.psnr(pred, gt))
+        ssims.append(metrics_mod.ssim(pred, gt))
+    logger.log_scalars(
+        step, {"val/psnr": float(np.mean(psnrs)), "val/ssim": float(np.mean(ssims))}
+    )
+    print(f"validation @ step {step}: psnr={np.mean(psnrs):.2f} ssim={np.mean(ssims):.4f}")
+
+
+def _visualize(cfg, field, state, camera, dataset, settings, log_dir, epoch) -> None:
+    """Render one novel view into ``vis/epoch_N/`` (``runner_utils.py:834-918``)."""
+    vis_dir = Path(log_dir) / "vis" / f"epoch_{epoch}" / "pred_imgs"
+    vis_dir.mkdir(parents=True, exist_ok=True)
+    img = render_image(
+        field,
+        state.params["coarse"],
+        state.params.get("fine"),
+        camera,
+        jnp.asarray(dataset.render_poses[0]),
+        jax.random.PRNGKey(0),
+        settings,
+        chunk_size=cfg.renderer.num_pixels,
+    )
+    save_png(vis_dir / "view_000.png", np.asarray(img))
+
+
+if __name__ == "__main__":
+    main()

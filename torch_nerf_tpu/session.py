@@ -1,0 +1,122 @@
+"""Session factory: config -> dataset, field, settings, train state.
+
+The functional counterpart of the reference's ``init_session`` layer
+(``/root/reference/torch_nerf/runners/runner_utils.py:26-166``): small
+builder functions shared by the train/render/evaluate CLIs. No stateful
+session object — each builder returns plain values/pytrees.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from torch_nerf_tpu import config as cfg_mod
+from torch_nerf_tpu.datasets import synthetic
+from torch_nerf_tpu.datasets.blender import PosedImages, load_blender
+from torch_nerf_tpu.datasets.llff import llff_t_bounds, load_llff
+from torch_nerf_tpu.fields import Field, make_nerf_field
+from torch_nerf_tpu.renderer import RenderSettings
+from torch_nerf_tpu.train import OptimConfig
+
+
+def build_dataset(cfg: cfg_mod.ExperimentConfig, split: str = "train") -> PosedImages:
+    """Load the dataset named by the config (``runner_utils.py:470-502``)."""
+    data = cfg.data
+    if data.dataset_type == "nerf_synthetic":
+        return load_blender(
+            data.data_root,
+            data.scene_name,
+            split=split,
+            half_res=data.half_res,
+            white_bg=data.white_bg,
+        )
+    if data.dataset_type == "nerf_llff":
+        return load_llff(
+            data.data_root,
+            data.scene_name,
+            factor=data.factor,
+            recenter=data.recenter,
+            bd_factor=data.bd_factor,
+            spherify=data.spherify,
+        )
+    if data.dataset_type == "gaussian_blobs":
+        images, poses, camera, _ = synthetic.make_dataset(
+            num_views=8, img_size=64
+        )
+        v = images.shape[0]
+        size = camera.img_height
+        return PosedImages(
+            images=images.reshape(v, size, size, 3),
+            poses=poses,
+            camera=camera,
+            render_poses=synthetic.orbit_poses(40),
+            image_names=[f"blob_{i:03d}" for i in range(v)],
+        )
+    raise ValueError(f"Unsupported dataset_type '{data.dataset_type}'.")
+
+
+def build_render_settings(
+    cfg: cfg_mod.ExperimentConfig, dataset: Optional[PosedImages] = None
+) -> RenderSettings:
+    """RenderSettings from config, applying the LLFF t-bound rewrite
+    (``runner_utils.py:488-502``) when the dataset provides z-bounds."""
+    r = cfg.renderer
+    t_near, t_far = r.t_near, r.t_far
+    if dataset is not None and dataset.z_bounds is not None:
+        t_near, t_far = llff_t_bounds(dataset.z_bounds, r.project_to_ndc)
+    return RenderSettings(
+        num_samples_coarse=r.num_samples_coarse,
+        num_samples_fine=r.num_samples_fine,
+        t_near=t_near,
+        t_far=t_far,
+        project_to_ndc=r.project_to_ndc,
+    )
+
+
+def build_field(cfg: cfg_mod.ExperimentConfig) -> Field:
+    """Field from the network + signal_encoder groups
+    (``runner_utils.py:569-660``)."""
+    net = cfg.network
+    enc = cfg.signal_encoder
+    compute_dtype = jnp.dtype(cfg.device.compute_dtype)
+
+    if net.type == "nerf":
+        if enc.type != "pe":
+            raise ValueError("The classic NeRF network expects positional encoding.")
+        return make_nerf_field(
+            pos_dim=net.pos_dim,
+            view_dir_dim=net.view_dir_dim,
+            coord_encode_level=enc.coord_encode_level,
+            dir_encode_level=enc.dir_encode_level,
+            include_input=enc.include_input,
+            feat_dim=net.feat_dim,
+            compute_dtype=compute_dtype,
+        )
+    if net.type == "instant_nerf":
+        from torch_nerf_tpu.fields_ngp import make_instant_ngp_field  # noqa: PLC0415
+
+        return make_instant_ngp_field(
+            num_level=net.num_level,
+            log_max_entry_per_level=net.log_max_entry_per_level,
+            table_feat_dim=net.table_feat_dim,
+            min_res=net.min_res,
+            max_res=net.max_res,
+            sh_degree=enc.degree,
+            compute_dtype=compute_dtype,
+        )
+    raise ValueError(f"Unsupported network type '{net.type}'.")
+
+
+def build_optim_config(cfg: cfg_mod.ExperimentConfig) -> OptimConfig:
+    o = cfg.train_params.optim
+    if o.optim_type != "adam" or o.scheduler_type != "exp":
+        raise ValueError(
+            f"Unsupported optimizer/scheduler '{o.optim_type}'/'{o.scheduler_type}'."
+        )
+    return OptimConfig(
+        num_iter=o.num_iter, init_lr=o.init_lr, end_lr=o.end_lr, eps=o.eps
+    )

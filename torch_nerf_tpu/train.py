@@ -1,0 +1,222 @@
+"""Jit-compiled end-to-end training step for NeRF on TPU.
+
+Replaces the reference's session/training orchestration
+(``/root/reference/torch_nerf/runners/runner_utils.py:169-414`` and
+``runners/train.py:88-230``) with a single donated, jit-compiled function:
+image selection, pixel sampling, ray generation, coarse+fine rendering, MSE
+loss, Adam update, and exponential LR decay all trace into one XLA program.
+The entire (small) image set lives in device HBM, so a train step moves zero
+bytes over PCIe — the reference's DataLoader worker processes and
+``.cuda()`` copies (``runner_utils.py:327``) have no equivalent here.
+
+Optimization semantics match the reference: Adam with
+``lr(t) = init_lr * (end_lr / init_lr)^(t / num_iter)`` stepped per
+iteration (``runner_utils.py:690-711``), loss = coarse MSE + fine MSE summed
+before a single backward (``runners/train.py:170-216``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from torch_nerf_tpu import cameras
+from torch_nerf_tpu.fields import Field
+from torch_nerf_tpu.renderer import RenderSettings, render_rays
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    """Mirrors ``configs/train_params/nerf.yaml:1-8``."""
+
+    num_iter: int = 300_000
+    init_lr: float = 5.0e-4
+    end_lr: float = 5.0e-5
+    eps: float = 1.0e-8
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray  # scalar int32
+    params: Dict[str, Any]  # {"coarse": pytree} or {"coarse":..., "fine":...}
+    opt_state: Any
+
+
+def lr_schedule(cfg: OptimConfig) -> optax.Schedule:
+    """Exponential decay from init_lr to end_lr over num_iter steps.
+
+    Equivalent to torch ``ExponentialLR(gamma=(end/init)^(1/num_iter))``
+    stepped once per optimizer step (``runner_utils.py:702-711``).
+    """
+    gamma = (cfg.end_lr / cfg.init_lr) ** (1.0 / cfg.num_iter)
+    return optax.exponential_decay(
+        init_value=cfg.init_lr, transition_steps=1, decay_rate=gamma
+    )
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    return optax.adam(learning_rate=lr_schedule(cfg), eps=cfg.eps)
+
+
+def create_train_state(
+    key: jax.Array,
+    field: Field,
+    settings: RenderSettings,
+    optim_cfg: OptimConfig,
+) -> TrainState:
+    """Initialize coarse (and fine, if hierarchical) params + Adam state."""
+    coarse_key, fine_key = jax.random.split(key)
+    params: Dict[str, Any] = {"coarse": field.init(coarse_key)}
+    if settings.hierarchical:
+        params["fine"] = field.init(fine_key)
+    optimizer = make_optimizer(optim_cfg)
+    opt_state = optimizer.init(params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
+
+
+def ray_loss_fn(
+    field: Field,
+    params: Dict[str, Any],
+    ray_origin: jnp.ndarray,
+    ray_dir: jnp.ndarray,
+    rgb_gt: jnp.ndarray,
+    key: jax.Array,
+    settings: RenderSettings,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Photometric loss on a ray batch: coarse MSE + fine MSE.
+
+    (``runners/train.py:170-216``: both losses summed into one backward.)
+    """
+    out = render_rays(
+        field,
+        params["coarse"],
+        params.get("fine"),
+        ray_origin,
+        ray_dir,
+        key,
+        settings,
+    )
+    coarse_loss = jnp.mean((out["rgb_coarse"] - rgb_gt) ** 2)
+    loss = coarse_loss
+    metrics = {"coarse_loss": coarse_loss}
+    if settings.hierarchical:
+        fine_loss = jnp.mean((out["rgb_fine"] - rgb_gt) ** 2)
+        loss = loss + fine_loss
+        metrics["fine_loss"] = fine_loss
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def make_ray_train_step(
+    field: Field,
+    settings: RenderSettings,
+    optim_cfg: OptimConfig,
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jnp.ndarray, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Train step over a pre-assembled ray batch (the shardable core).
+
+    ``step(state, ray_origin (N,3), ray_dir (N,3), rgb_gt (N,3), key)``.
+    This is the function the data-parallel path shards over the ``rays``
+    mesh axis; gradients are averaged by XLA-inserted collectives.
+    """
+    optimizer = make_optimizer(optim_cfg)
+
+    def step_fn(state: TrainState, ray_origin, ray_dir, rgb_gt, key):
+        def loss_wrapper(params):
+            return ray_loss_fn(field, params, ray_origin, ray_dir, rgb_gt, key, settings)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_wrapper, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        del loss
+        return (
+            TrainState(step=state.step + 1, params=new_params, opt_state=new_opt_state),
+            metrics,
+        )
+
+    return step_fn
+
+
+def precrop_pixel_indices(img_height: int, img_width: int) -> np.ndarray:
+    """Flat indices of the center-crop region used for early-epoch sampling.
+
+    Matches ``runners/train.py:150-169``: rows/cols within ``center +-
+    center // 2`` where ``center = (dim - 1) // 2`` (row-major flat indices,
+    un-flipped — the y-flip happens later in screen-coord generation, exactly
+    as in the reference).
+    """
+    ci = (img_height - 1) // 2
+    cj = (img_width - 1) // 2
+    rows = np.arange(ci - ci // 2, ci + ci // 2)
+    cols = np.arange(cj - cj // 2, cj + cj // 2)
+    grid = rows[:, None] * img_width + cols[None, :]
+    return grid.reshape(-1).astype(np.int32)
+
+
+def sample_pixels_without_replacement(
+    key: jax.Array, num_candidates: int, num_pixels: int
+) -> jnp.ndarray:
+    """Draw ``num_pixels`` distinct indices from ``range(num_candidates)``.
+
+    The reference uses host-side ``np.random.choice(..., replace=False)``
+    (``volume_renderer.py:122-128``); on TPU we take the top-k of i.i.d.
+    uniforms — an in-jit, O(n log k) without-replacement sampler.
+    """
+    u = jax.random.uniform(key, (num_candidates,))
+    _, idx = jax.lax.top_k(u, num_pixels)
+    return idx.astype(jnp.int32)
+
+
+def make_image_train_step(
+    field: Field,
+    settings: RenderSettings,
+    optim_cfg: OptimConfig,
+    camera: cameras.CameraParams,
+    num_pixels: int = 4096,
+    precrop: bool = False,
+    donate: bool = True,
+):
+    """Full train step from the on-device image/pose pool.
+
+    ``step(state, images (B, H*W, 3), poses (B, 4, 4), key)`` — picks a
+    random image, samples ``num_pixels`` distinct pixels (center-cropped when
+    ``precrop``, the epoch<10 trick of ``runners/train.py:150-169``),
+    generates rays, and applies the ray train step. Everything is inside one
+    jit with the state donated.
+    """
+    ray_step = make_ray_train_step(field, settings, optim_cfg)
+    num_total = camera.img_height * camera.img_width
+    crop = precrop_pixel_indices(camera.img_height, camera.img_width) if precrop else None
+    if crop is not None:
+        # the reference's randperm-then-slice keeps at most the crop-region
+        # size (runners/train.py:166-168); small images train on fewer rays
+        num_pixels = min(num_pixels, crop.shape[0])
+
+    def step_fn(state: TrainState, images, poses, key):
+        img_key, pix_key, render_key = jax.random.split(key, 3)
+        img_idx = jax.random.randint(img_key, (), 0, images.shape[0])
+        pose = poses[img_idx]
+        image = images[img_idx]
+
+        if crop is not None:
+            sub = sample_pixels_without_replacement(pix_key, crop.shape[0], num_pixels)
+            pixel_idx = jnp.asarray(crop)[sub]
+        else:
+            pixel_idx = sample_pixels_without_replacement(pix_key, num_total, num_pixels)
+
+        ray_o, ray_d = cameras.rays_for_pixels(
+            pixel_idx,
+            camera,
+            pose,
+            use_ndc=settings.project_to_ndc,
+            ndc_z_near=settings.ndc_z_near,
+        )
+        rgb_gt = image[pixel_idx]
+        return ray_step(state, ray_o, ray_d, rgb_gt, render_key)
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
