@@ -44,18 +44,49 @@ def make_nerf_field(
     include_input: bool = True,
     feat_dim: int = 256,
     compute_dtype=jnp.float32,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> Field:
     """Classic NeRF: positional encoding + the 8-layer MLP.
 
     Defaults mirror ``configs/signal_encoder/positional_encoding.yaml:1-4``
     and ``configs/network/nerf.yaml`` (PE levels 10/4 with raw input included
     -> 63-d coords / 27-d dirs into a 256-wide MLP).
+
+    ``use_pallas=True`` routes the encode+MLP hot path through the fused
+    Pallas TPU kernel (``ops.pallas.fused_nerf``) — same math, weights
+    resident in VMEM, custom VJP. ``pallas_interpret`` runs the kernel in
+    interpreter mode (CPU testing).
     """
     enc_pos_dim = encoders.positional_encoding_dim(pos_dim, coord_encode_level, include_input)
     enc_dir_dim = encoders.positional_encoding_dim(view_dir_dim, dir_encode_level, include_input)
 
     def init(key: jax.Array):
         return nerf_model.init_nerf_params(key, enc_pos_dim, enc_dir_dim, feat_dim)
+
+    if use_pallas:
+        from torch_nerf_tpu.ops.pallas.fused_nerf import (  # noqa: PLC0415
+            FusedNeRFConfig,
+            fused_nerf_apply,
+        )
+
+        cfg = FusedNeRFConfig(
+            coord_encode_level=coord_encode_level,
+            dir_encode_level=dir_encode_level,
+            include_input=include_input,
+            feat_dim=feat_dim,
+            compute_dtype=compute_dtype,
+            interpret=pallas_interpret,
+        )
+
+        def apply(params, pts: jnp.ndarray, dirs: jnp.ndarray):
+            batch_shape = pts.shape[:-1]
+            sigma, rgb = fused_nerf_apply(
+                params, pts.reshape(-1, 3), dirs.reshape(-1, 3), cfg
+            )
+            return sigma.reshape(batch_shape), rgb.reshape(*batch_shape, 3)
+
+        return Field(init=init, apply=apply, name="nerf_pallas")
 
     def apply(params, pts: jnp.ndarray, dirs: jnp.ndarray):
         pos_enc = encoders.positional_encoding(pts, coord_encode_level, include_input)

@@ -1,0 +1,499 @@
+"""Fused NeRF field kernel: positional-encode -> 11-layer MLP in one Pallas call.
+
+The XLA path materializes every hidden activation of the NeRF MLP in HBM
+(~0.5 GB per layer per training step at the lego operating point), making
+the step memory-bound. This kernel keeps the entire network — weights
+(~1.2 MB bf16) and per-tile activations — resident in VMEM and streams only
+the inputs (pts, dirs) and outputs (sigma, rgb) through HBM: the
+"fully fused MLP" strategy re-done for the TPU MXU.
+
+TPU-specific design points (these dominate performance):
+
+* **Lane-parallel positional encoding.** The naive encode builds 2L+1
+  (T, 3) tensors and concatenates — 3/128 lane occupancy and a relayout per
+  piece (measured ~3x the cost of the matmuls it feeds). Instead we spread
+  the 3 input channels across all encoding columns with one tiny selection
+  matmul ``X = pts @ S`` (S is (3, enc_dim)), then apply ``where(id, X,
+  where(is_sin, sin(f*X), cos(f*X)))`` on full-width tiles. Identical math,
+  full VPU lanes.
+* **Aligned concats/slices.** The skip concat becomes ``[h4, pe]`` (256
+  first, so every piece starts at a 128-aligned lane) with ``fc_5``'s
+  weight rows permuted to match; ``fc_8``'s output columns are permuted to
+  ``[features(256), sigma(1)]`` so the feature slice is ``[:, :256]``
+  (aligned) instead of ``[:, 1:]`` (a 1-lane rotate of a 257-wide tile).
+  Both permutations happen once on the host at flatten time; gradients are
+  un-permuted on the way out, so the public layout exactly matches the
+  reference (``/root/reference/torch_nerf/src/network/nerf.py:49-119``).
+
+Forward and backward are both Pallas kernels wired up with
+``jax.custom_vjp``; the backward rematerializes the forward per tile (no
+activation stash in HBM) and accumulates parameter gradients across
+sequential grid steps into revisited output blocks. Gradients flow to params
+AND to pts/dirs (honest VJP — pose/point optimization keeps working).
+Equivalence against the jnp path is asserted in tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from torch_nerf_tpu.models.nerf import LAYER_NAMES
+
+Params = Dict[str, Any]
+
+_PRE_SKIP = ("fc_in", "fc_1", "fc_2", "fc_3", "fc_4")
+_POST_SKIP = ("fc_5", "fc_6", "fc_7")
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedNeRFConfig:
+    coord_encode_level: int = 10
+    dir_encode_level: int = 4
+    include_input: bool = True
+    feat_dim: int = 256
+    tile: int = 2048
+    compute_dtype: Any = jnp.bfloat16
+    interpret: bool = False
+
+    @property
+    def pos_enc_dim(self) -> int:
+        return 2 * self.coord_encode_level * 3 + (3 if self.include_input else 0)
+
+    @property
+    def dir_enc_dim(self) -> int:
+        return 2 * self.dir_encode_level * 3 + (3 if self.include_input else 0)
+
+
+# ---------------------------------------------------------------------------
+# lane-parallel positional encoding
+
+
+@functools.lru_cache(maxsize=None)
+def _encode_tables(num_levels: int, include_input: bool):
+    """Constants for the spread encoding (passed to the kernel as inputs):
+    selection matrix S (3, D), per-column frequencies, and float sin/identity
+    column masks (cos mask = 1 - sin - id).
+
+    Column layout matches encoders.positional_encoding: [x, y, z,
+    sin(2^0 xyz), cos(2^0 xyz), sin(2^1 xyz), ...].
+    """
+    dim = 2 * num_levels * 3 + (3 if include_input else 0)
+    sel = np.zeros((3, dim), dtype=np.float32)
+    freq = np.zeros((dim,), dtype=np.float32)
+    sin_mask = np.zeros((dim,), dtype=np.float32)
+    id_mask = np.zeros((dim,), dtype=np.float32)
+
+    col = 0
+    if include_input:
+        for c in range(3):
+            sel[c, col] = 1.0
+            freq[col] = 1.0
+            id_mask[col] = 1.0
+            col += 1
+    for level in range(num_levels):
+        f = float(2**level)
+        for c in range(3):  # sin block
+            sel[c, col] = 1.0
+            freq[col] = f
+            sin_mask[col] = 1.0
+            col += 1
+        for c in range(3):  # cos block
+            sel[c, col] = 1.0
+            freq[col] = f
+            col += 1
+    assert col == dim
+    return sel, freq.reshape(1, -1), sin_mask.reshape(1, -1), id_mask.reshape(1, -1)
+
+
+def _encode_fast(x, tables, dtype):
+    """(T, 3) -> ((T, D) encoding in ``dtype``, (T, D) f32 spread).
+
+    ``tables`` = (sel, freq, sin_mask, id_mask) arrays already in VMEM.
+    Pure-arithmetic mask blend — no bools, no lane rotations.
+    """
+    sel, freq, sin_mask, id_mask = tables
+    spread = jnp.dot(x, sel, preferred_element_type=jnp.float32)
+    y = spread * freq
+    cos_mask = 1.0 - sin_mask - id_mask
+    enc = id_mask * spread + sin_mask * jnp.sin(y) + cos_mask * jnp.cos(y)
+    return enc.astype(dtype), spread
+
+
+def _encode_fast_bwd(spread, g, tables):
+    """VJP of _encode_fast: cotangent (T, D) f32 -> (T, 3) f32."""
+    sel, freq, sin_mask, id_mask = tables
+    y = spread * freq
+    cos_mask = 1.0 - sin_mask - id_mask
+    dspread = (
+        id_mask * g
+        + freq * (sin_mask * jnp.cos(y) - cos_mask * jnp.sin(y)) * g
+    )
+    return jax.lax.dot_general(
+        dspread,
+        sel,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+# ---------------------------------------------------------------------------
+# small matmul helpers
+
+
+def _mm(a, b, dtype):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32).astype(dtype)
+
+
+def _mm_tn(a, b):
+    """a^T @ b contracting the tile axis -> f32 (dW accumulation)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _mm_nt(a, w, dtype):
+    """a @ w^T contracting the output axis (backward dh)."""
+    return jax.lax.dot_general(
+        a, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# host-side parameter layout (permutations for aligned in-kernel slicing)
+
+
+def _flatten_params(params: Params, cfg: FusedNeRFConfig):
+    """Flat [w0, b0, w1, b1, ...] in kernel layout, cast to compute dtype.
+
+    Kernel layout differs from the public layout in two ways (undone by
+    ``_unflatten_grads``):
+    * fc_5 weight rows reordered: public input is [pe, h4]; the kernel
+      feeds [h4, pe] so the concat is lane-aligned.
+    * fc_8 weight/bias columns reordered: public output is [sigma, feat];
+      the kernel produces [feat, sigma] so the feature slice is aligned.
+    """
+    d = cfg.pos_enc_dim
+    flat = []
+    for name in LAYER_NAMES:
+        w = params[name]["w"]
+        b = params[name]["b"].reshape(1, -1)
+        if name == "fc_5":
+            w = jnp.concatenate([w[d:, :], w[:d, :]], axis=0)
+        elif name == "fc_8":
+            w = jnp.concatenate([w[:, 1:], w[:, :1]], axis=1)
+            b = jnp.concatenate([b[:, 1:], b[:, :1]], axis=1)
+        flat.append(w.astype(cfg.compute_dtype))
+        flat.append(b.astype(cfg.compute_dtype))
+    return flat
+
+
+def _unflatten_grads(flat, cfg: FusedNeRFConfig) -> Params:
+    """Invert _flatten_params' permutations on the f32 gradient arrays."""
+    fd = cfg.feat_dim
+    out = {}
+    for i, name in enumerate(LAYER_NAMES):
+        w = flat[2 * i]
+        b = flat[2 * i + 1].reshape(-1)
+        if name == "fc_5":
+            w = jnp.concatenate([w[fd:, :], w[:fd, :]], axis=0)
+        elif name == "fc_8":
+            w = jnp.concatenate([w[:, -1:], w[:, :-1]], axis=1)
+            b = jnp.concatenate([b[-1:], b[:-1]], axis=0)
+        out[name] = {"w": w, "b": b}
+    return out
+
+
+def _weight_refs_to_tree(refs):
+    return {
+        name: {"w": refs[2 * i][:], "b": refs[2 * i + 1][:]}
+        for i, name in enumerate(LAYER_NAMES)
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward
+
+
+def _forward_tile(pts, dirs, w, pos_tables, dir_tables, cfg: FusedNeRFConfig):
+    """Forward math on one (T, ...) tile in kernel layout."""
+    dt = cfg.compute_dtype
+    fd = cfg.feat_dim
+    pe, pe_spread = _encode_fast(pts, pos_tables, dt)
+    de, de_spread = _encode_fast(dirs, dir_tables, dt)
+
+    acts = {"pe": pe, "de": de, "pe_spread": pe_spread, "de_spread": de_spread}
+    h = pe
+    for name in _PRE_SKIP:
+        h = jnp.maximum(_mm(h, w[name]["w"], dt) + w[name]["b"], 0.0)
+        acts[name] = h
+    cat5 = jnp.concatenate([h, pe], axis=-1)  # kernel layout: [h4, pe]
+    acts["cat5"] = cat5
+    h = cat5
+    for name in _POST_SKIP:
+        h = jnp.maximum(_mm(h, w[name]["w"], dt) + w[name]["b"], 0.0)
+        acts[name] = h
+    z8 = _mm(h, w["fc_8"]["w"], dt) + w["fc_8"]["b"]  # kernel layout: [feat, sigma]
+    acts["z8"] = z8
+    sigma = jnp.maximum(z8[:, fd:].astype(jnp.float32), 0.0)  # (T, 1)
+    cat9 = jnp.concatenate([z8[:, :fd], de], axis=-1)
+    acts["cat9"] = cat9
+    h9 = jnp.maximum(_mm(cat9, w["fc_9"]["w"], dt) + w["fc_9"]["b"], 0.0)
+    acts["fc_9"] = h9
+    z_out = _mm(h9, w["fc_out"]["w"], dt) + w["fc_out"]["b"]
+    rgb = jax.nn.sigmoid(z_out.astype(jnp.float32))
+    acts["rgb"] = rgb
+    acts["sigma"] = sigma
+    return acts
+
+
+def _fwd_kernel(cfg: FusedNeRFConfig, pts_ref, dirs_ref, *rest):
+    pos_tables = tuple(r[:] for r in rest[:4])
+    dir_tables = tuple(r[:] for r in rest[4:8])
+    weight_refs = rest[8:-2]
+    sigma_ref, rgb_ref = rest[-2:]
+    w = _weight_refs_to_tree(weight_refs)
+    pts = pts_ref[:].astype(jnp.float32)
+    dirs = dirs_ref[:].astype(jnp.float32)
+    acts = _forward_tile(pts, dirs, w, pos_tables, dir_tables, cfg)
+    sigma_ref[:] = acts["sigma"]
+    rgb_ref[:] = acts["rgb"]
+
+
+# ---------------------------------------------------------------------------
+# backward
+
+
+def _bwd_kernel(cfg: FusedNeRFConfig, pts_ref, dirs_ref, *rest):
+    num_w = 2 * len(LAYER_NAMES)
+    pos_tables = tuple(r[:] for r in rest[:4])
+    dir_tables = tuple(r[:] for r in rest[4:8])
+    rest = rest[8:]
+    weight_refs = rest[:num_w]
+    g_sigma_ref, g_rgb_ref = rest[num_w : num_w + 2]
+    grad_refs = rest[num_w + 2 : num_w + 2 + num_w]
+    dpts_ref, ddirs_ref = rest[num_w + 2 + num_w :]
+
+    dt = cfg.compute_dtype
+    fd = cfg.feat_dim
+    w = _weight_refs_to_tree(weight_refs)
+    pts = pts_ref[:].astype(jnp.float32)
+    dirs = dirs_ref[:].astype(jnp.float32)
+
+    acts = _forward_tile(pts, dirs, w, pos_tables, dir_tables, cfg)  # rematerialize
+
+    g_sigma = g_sigma_ref[:].astype(jnp.float32)  # (T, 1)
+    g_rgb = g_rgb_ref[:].astype(jnp.float32)  # (T, 3)
+
+    grads = {}
+
+    rgb = acts["rgb"]
+    dz_out = (g_rgb * rgb * (1.0 - rgb)).astype(dt)
+    grads["fc_out"] = (
+        _mm_tn(acts["fc_9"], dz_out),
+        jnp.sum(dz_out.astype(jnp.float32), axis=0),
+    )
+    dh9 = _mm_nt(dz_out, w["fc_out"]["w"], dt)
+    dz9 = jnp.where(acts["fc_9"].astype(jnp.float32) > 0, dh9, 0.0).astype(dt)
+
+    grads["fc_9"] = (
+        _mm_tn(acts["cat9"], dz9),
+        jnp.sum(dz9.astype(jnp.float32), axis=0),
+    )
+    dcat9 = _mm_nt(dz9, w["fc_9"]["w"], dt)
+    dfeat = dcat9[:, :fd]
+    dde = dcat9[:, fd:].astype(jnp.float32)
+
+    # fc_8, kernel layout [feat, sigma]: relu only on the sigma column
+    z8 = acts["z8"]
+    dsig = jnp.where(z8[:, fd:].astype(jnp.float32) > 0, g_sigma, 0.0).astype(dt)
+    dz8 = jnp.concatenate([dfeat, dsig], axis=-1).astype(dt)
+    grads["fc_8"] = (
+        _mm_tn(acts["fc_7"], dz8),
+        jnp.sum(dz8.astype(jnp.float32), axis=0),
+    )
+    dh = _mm_nt(dz8, w["fc_8"]["w"], dt)
+
+    post_inputs = {"fc_5": acts["cat5"], "fc_6": acts["fc_5"], "fc_7": acts["fc_6"]}
+    for name in reversed(_POST_SKIP):
+        dz = jnp.where(acts[name].astype(jnp.float32) > 0, dh, 0.0).astype(dt)
+        grads[name] = (
+            _mm_tn(post_inputs[name], dz),
+            jnp.sum(dz.astype(jnp.float32), axis=0),
+        )
+        dh = _mm_nt(dz, w[name]["w"], dt)
+
+    # skip split in kernel layout: cat5 = [h4, pe]
+    dpe = dh[:, fd:].astype(jnp.float32)
+    dh = dh[:, :fd]
+
+    pre_inputs = {
+        "fc_in": acts["pe"],
+        "fc_1": acts["fc_in"],
+        "fc_2": acts["fc_1"],
+        "fc_3": acts["fc_2"],
+        "fc_4": acts["fc_3"],
+    }
+    for name in reversed(_PRE_SKIP):
+        dz = jnp.where(acts[name].astype(jnp.float32) > 0, dh, 0.0).astype(dt)
+        grads[name] = (
+            _mm_tn(pre_inputs[name], dz),
+            jnp.sum(dz.astype(jnp.float32), axis=0),
+        )
+        dh = _mm_nt(dz, w[name]["w"], dt)
+    dpe = dpe + dh.astype(jnp.float32)
+
+    dpts = _encode_fast_bwd(acts["pe_spread"], dpe, pos_tables)
+    ddirs = _encode_fast_bwd(acts["de_spread"], dde, dir_tables)
+
+    is_first = pl.program_id(0) == 0
+    for i, name in enumerate(LAYER_NAMES):
+        dw, db = grads[name]
+        db = db.reshape(1, -1)
+
+        @pl.when(is_first)
+        def _(i=i, dw=dw, db=db):
+            grad_refs[2 * i][:] = dw
+            grad_refs[2 * i + 1][:] = db
+
+        @pl.when(jnp.logical_not(is_first))
+        def _(i=i, dw=dw, db=db):
+            grad_refs[2 * i][:] += dw
+            grad_refs[2 * i + 1][:] += db
+
+    dpts_ref[:] = dpts
+    ddirs_ref[:] = ddirs
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing
+
+
+def _pad_to_tile(x, tile):
+    m = x.shape[0]
+    padded = -(-m // tile) * tile
+    if padded == m:
+        return x, m
+    return jnp.pad(x, ((0, padded - m), (0, 0))), m
+
+
+def _compiler_params(cfg: FusedNeRFConfig):
+    if cfg.interpret:
+        return None
+    # v5e/v4 have 128 MiB of physical VMEM; the default 16 MiB scoped limit
+    # rejects the grad accumulators + activations at large tiles.
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_nerf_apply(
+    params: Params, pts: jnp.ndarray, dirs: jnp.ndarray, cfg: FusedNeRFConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(sigma (M,), rgb (M, 3)) for flat points/dirs (M, 3)."""
+    return _fused_forward(params, pts, dirs, cfg)
+
+
+def _table_arrays(cfg: FusedNeRFConfig):
+    pos = [jnp.asarray(t) for t in _encode_tables(cfg.coord_encode_level, cfg.include_input)]
+    dirs = [jnp.asarray(t) for t in _encode_tables(cfg.dir_encode_level, cfg.include_input)]
+    return pos + dirs
+
+
+def _fused_forward(params, pts, dirs, cfg: FusedNeRFConfig):
+    flat_w = _flatten_params(params, cfg)
+    tables = _table_arrays(cfg)
+    pts_p, m = _pad_to_tile(pts, cfg.tile)
+    dirs_p, _ = _pad_to_tile(dirs, cfg.tile)
+    num_tiles = pts_p.shape[0] // cfg.tile
+
+    tile_spec = pl.BlockSpec((cfg.tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    table_specs = [
+        pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for t in tables
+    ]
+    weight_specs = [
+        pl.BlockSpec(wa.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for wa in flat_w
+    ]
+
+    sigma, rgb = pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg),
+        grid=(num_tiles,),
+        in_specs=[tile_spec, tile_spec] + table_specs + weight_specs,
+        out_specs=[
+            pl.BlockSpec((cfg.tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((pts_p.shape[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((pts_p.shape[0], 3), jnp.float32),
+        ],
+        compiler_params=_compiler_params(cfg),
+        interpret=cfg.interpret,
+    )(pts_p, dirs_p, *tables, *flat_w)
+    return sigma[:m, 0], rgb[:m]
+
+
+def _fused_fwd(params, pts, dirs, cfg):
+    out = _fused_forward(params, pts, dirs, cfg)
+    return out, (params, pts, dirs)
+
+
+def _fused_bwd(cfg, residuals, cotangents):
+    params, pts, dirs = residuals
+    g_sigma, g_rgb = cotangents
+
+    flat_w = _flatten_params(params, cfg)
+    tables = _table_arrays(cfg)
+    pts_p, m = _pad_to_tile(pts, cfg.tile)
+    dirs_p, _ = _pad_to_tile(dirs, cfg.tile)
+    g_sigma_p, _ = _pad_to_tile(g_sigma.reshape(-1, 1), cfg.tile)
+    g_rgb_p, _ = _pad_to_tile(g_rgb, cfg.tile)
+    num_tiles = pts_p.shape[0] // cfg.tile
+
+    tile3 = pl.BlockSpec((cfg.tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tile1 = pl.BlockSpec((cfg.tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    table_specs = [
+        pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for t in tables
+    ]
+    weight_specs = [
+        pl.BlockSpec(wa.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for wa in flat_w
+    ]
+    # revisited accumulator blocks: every grid step maps to block (0, 0)
+    grad_specs = [
+        pl.BlockSpec(wa.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for wa in flat_w
+    ]
+    grad_shapes = [jax.ShapeDtypeStruct(wa.shape, jnp.float32) for wa in flat_w]
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, cfg),
+        grid=(num_tiles,),
+        in_specs=[tile3, tile3] + table_specs + weight_specs + [tile1, tile3],
+        out_specs=grad_specs + [tile3, tile3],
+        out_shape=grad_shapes
+        + [
+            jax.ShapeDtypeStruct(pts_p.shape, jnp.float32),
+            jax.ShapeDtypeStruct(dirs_p.shape, jnp.float32),
+        ],
+        compiler_params=_compiler_params(cfg),
+        interpret=cfg.interpret,
+    )(pts_p, dirs_p, *tables, *flat_w, g_sigma_p, g_rgb_p)
+
+    flat_grads = outs[: len(flat_w)]
+    dpts = outs[len(flat_w)][:m]
+    ddirs = outs[len(flat_w) + 1][:m]
+    dparams = _unflatten_grads(flat_grads, cfg)
+    return dparams, dpts, ddirs
+
+
+fused_nerf_apply.defvjp(_fused_fwd, _fused_bwd)
