@@ -72,6 +72,62 @@ def test_dp_tp_mesh_step_runs():
     assert w.sharding.spec == jax.sharding.PartitionSpec(None, "model")
 
 
+def test_dp_image_step_matches_single_device():
+    """Sharded image-level step == plain image step (same keys, same math)."""
+    from torch_nerf_tpu.cameras import CameraParams
+    from torch_nerf_tpu.parallel import make_sharded_image_train_step
+
+    h = w = 16
+    camera = CameraParams(focal_x=20.0, focal_y=20.0, img_width=w, img_height=h)
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.uniform(size=(2, h * w, 3)).astype(np.float32))
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = 4.0
+    poses = jnp.asarray(np.stack([pose, pose]))
+
+    state = train.create_train_state(jax.random.PRNGKey(0), FIELD, SETTINGS, OPTIM)
+    key = jax.random.PRNGKey(5)
+
+    plain = train.make_image_train_step(
+        FIELD, SETTINGS, OPTIM, camera, num_pixels=64, donate=False
+    )
+    _, ref_metrics = plain(state, images, poses, key)
+
+    mesh = make_mesh(("data",))
+    build, place_state = make_sharded_image_train_step(
+        FIELD, SETTINGS, OPTIM, camera, mesh, num_pixels=64
+    )
+    sharded = place_state(state)
+    new_state, metrics = build(sharded)(sharded, images, poses, key)
+
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+    assert int(new_state.step) == 1
+
+
+def test_sample_sharded_composite_matches_unsharded():
+    """Sample-axis (SP) compositing == plain composite (SURVEY.md §5.7)."""
+    from torch_nerf_tpu.ops import integration, sampling
+    from torch_nerf_tpu.parallel import make_sample_sharded_composite
+
+    rng = np.random.default_rng(3)
+    n, s = 16, 64  # s sharded 8 ways -> 8 samples per device
+    sigma = jnp.asarray(rng.uniform(0, 3, size=(n, s)).astype(np.float32))
+    radiance = jnp.asarray(rng.uniform(size=(n, s, 3)).astype(np.float32))
+    t = jnp.sort(jnp.asarray(rng.uniform(2, 6, size=(n, s)).astype(np.float32)), axis=-1)
+    delta = sampling.t_deltas(t)
+
+    ref_rgb, ref_w = integration.composite(sigma, radiance, delta)
+
+    mesh = make_mesh(("samples",))
+    sharded_composite = make_sample_sharded_composite(mesh, "samples")
+    rgb, w = sharded_composite(sigma, radiance, delta)
+
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(ref_rgb), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(ref_w), rtol=1e-5, atol=1e-6)
+
+
 def test_tp_matches_replicated_numerics():
     mesh = make_mesh(("data", "model"), shape=(4, 2))
     state = train.create_train_state(jax.random.PRNGKey(0), FIELD, SETTINGS, OPTIM)

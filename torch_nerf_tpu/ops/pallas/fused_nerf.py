@@ -59,7 +59,10 @@ class FusedNeRFConfig:
     dir_encode_level: int = 4
     include_input: bool = True
     feat_dim: int = 256
-    tile: int = 2048
+    # 1024 measured fastest on v5e at the lego operating point (74k rays/s
+    # vs 69k @ 2048, 68k @ 4096; >= 8192 exceeds the VMEM budget): smaller
+    # tiles pipeline input/output DMA with MXU compute across grid steps.
+    tile: int = 1024
     compute_dtype: Any = jnp.bfloat16
     interpret: bool = False
 

@@ -16,20 +16,28 @@ scratch:
   the per-ray transmittance is an exclusive prefix scan of ``sigma * delta``
   — partitioning the sample axis S requires a cross-chip exclusive scan of
   per-shard sums plus local scans (ring-attention-style). S <= 256 fits VMEM
-  trivially, so this variant is documented here and intentionally not the
-  default; `plan_sample_axis_scan` sketches the decomposition for S beyond
+  trivially, so this variant is not the default; ``sample_axis.
+  make_sample_sharded_composite`` implements the decomposition for S beyond
   on-chip capacity.
 """
 
 from torch_nerf_tpu.parallel.mesh import (
     make_mesh,
+    make_sharded_image_train_step,
     make_sharded_train_step,
     nerf_param_spec,
     replicate_state,
 )
+from torch_nerf_tpu.parallel.sample_axis import (
+    composite_shard,
+    make_sample_sharded_composite,
+)
 
 __all__ = [
+    "composite_shard",
     "make_mesh",
+    "make_sample_sharded_composite",
+    "make_sharded_image_train_step",
     "make_sharded_train_step",
     "nerf_param_spec",
     "replicate_state",

@@ -13,12 +13,20 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from torch_nerf_tpu import cameras
 from torch_nerf_tpu.fields import Field
 from torch_nerf_tpu.renderer import RenderSettings
-from torch_nerf_tpu.train import OptimConfig, TrainState, make_ray_train_step
+from torch_nerf_tpu.train import (
+    OptimConfig,
+    TrainState,
+    make_ray_train_step,
+    precrop_pixel_indices,
+    sample_pixels_without_replacement,
+)
 
 # Megatron-style layout for the NeRF MLP trunk: alternating column-parallel
 # (out-dim sharded) and row-parallel (in-dim sharded) linears so each pair
@@ -170,6 +178,85 @@ def make_sharded_train_step(
             ray_step,
             in_shardings=(state_sh, ray_sharding, ray_sharding, ray_sharding, key_sharding),
             out_shardings=(state_sh, metrics_sh),
+            donate_argnums=(0,),
+        )
+
+    return build, place_state
+
+
+def make_sharded_image_train_step(
+    field: Field,
+    settings: RenderSettings,
+    optim_cfg: OptimConfig,
+    camera: cameras.CameraParams,
+    mesh: Mesh,
+    num_pixels: int = 4096,
+    precrop: bool = False,
+    data_axis: str = "data",
+    model_axis: Optional[str] = None,
+):
+    """Data-parallel version of ``train.make_image_train_step``.
+
+    Same semantics (pick a random image from the on-device pool, sample
+    ``num_pixels`` distinct pixels, render, MSE, Adam) but with the ray batch
+    sharded over ``data_axis``: pixel selection runs replicated from the
+    shared key (every chip agrees without communication, SURVEY.md §5.8),
+    then a sharding constraint splits rays/targets across the mesh and XLA
+    inserts the gradient all-reduce over ICI/DCN.
+
+    Returns ``(build, place_state)`` like :func:`make_sharded_train_step`;
+    the built step has signature ``step(state, images (B, H*W, 3),
+    poses (B, 4, 4), key)``.
+    """
+    ray_step = make_ray_train_step(field, settings, optim_cfg)
+    num_total = camera.img_height * camera.img_width
+    crop = precrop_pixel_indices(camera.img_height, camera.img_width) if precrop else None
+    if crop is not None:
+        num_pixels = min(num_pixels, crop.shape[0])
+    if num_pixels % int(mesh.shape[data_axis]) != 0:
+        raise ValueError(
+            f"num_pixels={num_pixels} must divide evenly over the "
+            f"{mesh.shape[data_axis]}-way '{data_axis}' axis"
+        )
+
+    ray_sharding = NamedSharding(mesh, P(data_axis))
+    replicated = NamedSharding(mesh, P())
+
+    def place_state(state: TrainState) -> TrainState:
+        return replicate_state(mesh, state, model_axis)
+
+    def step_fn(state: TrainState, images, poses, key):
+        img_key, pix_key, render_key = jax.random.split(key, 3)
+        img_idx = jax.random.randint(img_key, (), 0, images.shape[0])
+        pose = poses[img_idx]
+        image = images[img_idx]
+
+        if crop is not None:
+            sub = sample_pixels_without_replacement(pix_key, crop.shape[0], num_pixels)
+            pixel_idx = jnp.asarray(crop)[sub]
+        else:
+            pixel_idx = sample_pixels_without_replacement(pix_key, num_total, num_pixels)
+
+        ray_o, ray_d = cameras.rays_for_pixels(
+            pixel_idx,
+            camera,
+            pose,
+            use_ndc=settings.project_to_ndc,
+            ndc_z_near=settings.ndc_z_near,
+        )
+        rgb_gt = image[pixel_idx]
+        # split the ray batch across chips; grads psum back automatically
+        ray_o = jax.lax.with_sharding_constraint(ray_o, ray_sharding)
+        ray_d = jax.lax.with_sharding_constraint(ray_d, ray_sharding)
+        rgb_gt = jax.lax.with_sharding_constraint(rgb_gt, ray_sharding)
+        return ray_step(state, ray_o, ray_d, rgb_gt, render_key)
+
+    def build(state: TrainState):
+        state_sh = _state_shardings(mesh, state, model_axis)
+        return jax.jit(
+            step_fn,
+            in_shardings=(state_sh, replicated, replicated, replicated),
+            out_shardings=(state_sh, None),
             donate_argnums=(0,),
         )
 

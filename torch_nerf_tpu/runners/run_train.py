@@ -36,12 +36,27 @@ def parse_args(argv=None):
     parser.add_argument(
         "--max-steps", type=int, default=None, help="cap total steps (debug)"
     )
+    parser.add_argument(
+        "--profile-steps",
+        type=int,
+        default=0,
+        help="capture a jax.profiler trace of this many steps (after warmup) "
+        "into <log-dir>/profile; view with TensorBoard or xprof",
+    )
+    parser.add_argument(
+        "--distributed",
+        action="store_true",
+        help="call jax.distributed.initialize() for multi-host pod slices "
+        "(one process per host; coordinator from TPU env vars)",
+    )
     parser.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     return parser.parse_args(argv)
 
 
 def main(argv=None) -> None:
     args = parse_args(argv)
+    if args.distributed:
+        jax.distributed.initialize()
 
     log_dir = Path(args.log_dir or f"outputs/{time.strftime('%Y-%m-%d/%H-%M-%S')}")
     stored_cfg = log_dir / "config.yaml"
@@ -78,12 +93,39 @@ def main(argv=None) -> None:
     if args.max_steps is not None:
         total_steps = min(total_steps, args.max_steps)
 
-    step_precrop = train.make_image_train_step(
-        field, settings, optim_cfg, camera, cfg.renderer.num_pixels, precrop=True
-    )
-    step_full = train.make_image_train_step(
-        field, settings, optim_cfg, camera, cfg.renderer.num_pixels, precrop=False
-    )
+    # data-parallel path: shard the ray batch over all devices when more
+    # than one chip is visible (SURVEY.md §2.2 / §5.8). parallel.
+    # data_axis_size=1 forces the single-device step.
+    num_devices = jax.device_count()
+    use_dp = num_devices > 1 and cfg.parallel.data_axis_size != 1
+    if use_dp:
+        from torch_nerf_tpu.parallel import make_mesh, make_sharded_image_train_step
+
+        dp_size = cfg.parallel.data_axis_size
+        if dp_size == -1:
+            dp_size = num_devices
+        mesh = make_mesh(("data",), devices=jax.devices()[:dp_size])
+        print(f"Data-parallel training over {dp_size} devices.")
+
+        def make_step(precrop):
+            build, place_state = make_sharded_image_train_step(
+                field, settings, optim_cfg, camera, mesh,
+                num_pixels=cfg.renderer.num_pixels, precrop=precrop,
+            )
+            return build, place_state
+
+        build_pre, place_state = make_step(True)
+        build_full, _ = make_step(False)
+        state = place_state(state)
+        step_precrop = build_pre(state)
+        step_full = build_full(state)
+    else:
+        step_precrop = train.make_image_train_step(
+            field, settings, optim_cfg, camera, cfg.renderer.num_pixels, precrop=True
+        )
+        step_full = train.make_image_train_step(
+            field, settings, optim_cfg, camera, cfg.renderer.num_pixels, precrop=False
+        )
 
     logger = MetricsLogger(log_dir)
     timer = StepTimer(rays_per_step=cfg.renderer.num_pixels)
@@ -93,11 +135,22 @@ def main(argv=None) -> None:
     log_cfg = cfg.train_params.log
 
     start_step = int(state.step)
+    # profiler window: skip the first 10 steps (compile + warmup), then trace
+    # --profile-steps steps into <log_dir>/profile (SURVEY.md §5.1)
+    profile_start = start_step + 10 if args.profile_steps > 0 else -1
+    profile_stop = profile_start + args.profile_steps
+
     for step_idx in range(start_step, total_steps):
+        if step_idx == profile_start:
+            jax.profiler.start_trace(str(log_dir / "profile"))
         epoch = step_idx // steps_per_epoch
         key, sub = jax.random.split(key)
         step_fn = step_precrop if epoch < 10 else step_full
         state, metrics = step_fn(state, images_j, poses_j, sub)
+        if step_idx + 1 == profile_stop:
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {log_dir / 'profile'}")
 
         if (step_idx + 1) % 100 == 0:
             scalars = {f"train/{k}": float(v) for k, v in metrics.items()}

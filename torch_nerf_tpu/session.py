@@ -95,6 +95,7 @@ def build_field(cfg: cfg_mod.ExperimentConfig) -> Field:
             include_input=enc.include_input,
             feat_dim=net.feat_dim,
             compute_dtype=compute_dtype,
+            use_pallas=cfg.parallel.use_pallas,
         )
     if net.type == "instant_nerf":
         from torch_nerf_tpu.fields_ngp import make_instant_ngp_field  # noqa: PLC0415
