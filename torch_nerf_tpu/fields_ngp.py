@@ -28,9 +28,15 @@ def make_instant_ngp_field(
     sh_degree: int = 4,
     is_hdr: bool = False,
     compute_dtype=jnp.float32,
+    table_layout: str = "hash",
 ) -> Field:
     """Defaults mirror ``configs/network/instant_nerf.yaml`` +
-    ``configs/signal_encoder/spherical_harmonics.yaml``."""
+    ``configs/signal_encoder/spherical_harmonics.yaml``.
+
+    ``table_layout``: "hash" reproduces the reference's per-corner spatial
+    hashing exactly; "packed" is the TPU-fast voxel-packed layout (~16x
+    fewer gather indices per point — see ``models.instant_ngp``).
+    """
     resolutions = jnp.asarray(
         instant_ngp.level_resolutions(num_level, min_res, max_res)
     )
@@ -45,6 +51,7 @@ def make_instant_ngp_field(
             table_feat_dim=table_feat_dim,
             density_feat_dim=density_feat_dim,
             color_feat_dim=color_feat_dim,
+            table_layout=table_layout,
         )
 
     def apply(params, pts: jnp.ndarray, dirs: jnp.ndarray):
@@ -58,6 +65,7 @@ def make_instant_ngp_field(
             resolutions,
             is_hdr=is_hdr,
             compute_dtype=compute_dtype,
+            table_layout=table_layout,
         )
 
     return Field(init=init, apply=apply, name="instant_ngp")

@@ -89,9 +89,7 @@ def make_sample_sharded_composite(mesh: Mesh, axis_name: str = "samples"):
     (rgb (N, 3) replicated, weights (N, S) sample-sharded)`` numerically
     identical to ``ops.integration.composite``.
     """
-    from jax.experimental.shard_map import shard_map  # noqa: PLC0415
-
-    fn = shard_map(
+    fn = jax.shard_map(
         functools.partial(composite_shard, axis_name=axis_name),
         mesh=mesh,
         in_specs=(P(None, axis_name), P(None, axis_name, None), P(None, axis_name)),

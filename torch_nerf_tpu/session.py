@@ -108,6 +108,7 @@ def build_field(cfg: cfg_mod.ExperimentConfig) -> Field:
             max_res=net.max_res,
             sh_degree=enc.degree,
             compute_dtype=compute_dtype,
+            table_layout=net.table_layout,
         )
     raise ValueError(f"Unsupported network type '{net.type}'.")
 
