@@ -147,7 +147,8 @@ class ParallelConfig:
 
     data_axis_size: int = -1  # -1: all devices
     model_axis_size: int = 1
-    use_pallas: bool = False  # fused Pallas render kernel on TPU
+    # fused Pallas encode+MLP kernel; None = auto (on iff running on TPU)
+    use_pallas: Optional[bool] = None
 
 
 @dataclasses.dataclass

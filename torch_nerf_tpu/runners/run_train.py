@@ -185,9 +185,12 @@ def main(argv=None) -> None:
 
 
 def _validate(cfg, field, state, camera, dataset, settings, logger, step) -> None:
-    """Full-image validation with PSNR/SSIM (``runners/train.py:227-366``)."""
+    """Full-image validation: PSNR/SSIM (+LPIPS when pretrained weights are
+    locally available) and pred|gt image logging (``runners/train.py:227-366,
+    441-461``)."""
     num_batch = min(cfg.train_params.validation.num_batch, dataset.num_views)
-    psnrs, ssims = [], []
+    use_lpips = metrics_mod.lpips_available()
+    psnrs, ssims, lpipss = [], [], []
     for view in range(num_batch):
         img = render_image(
             field,
@@ -203,10 +206,19 @@ def _validate(cfg, field, state, camera, dataset, settings, logger, step) -> Non
         gt = dataset.images[view]
         psnrs.append(metrics_mod.psnr(pred, gt))
         ssims.append(metrics_mod.ssim(pred, gt))
-    logger.log_scalars(
-        step, {"val/psnr": float(np.mean(psnrs)), "val/ssim": float(np.mean(ssims))}
+        if use_lpips:
+            lpipss.append(metrics_mod.lpips(pred, gt))
+        if view == 0:
+            # pred|gt side by side, as the reference logs to TensorBoard
+            logger.log_image(step, "val/pred_vs_gt", np.concatenate([pred, gt], axis=1))
+    scalars = {"val/psnr": float(np.mean(psnrs)), "val/ssim": float(np.mean(ssims))}
+    if lpipss:
+        scalars["val/lpips"] = float(np.mean(lpipss))
+    logger.log_scalars(step, scalars)
+    print(
+        f"validation @ step {step}: "
+        + " ".join(f"{k.split('/')[-1]}={v:.4f}" for k, v in scalars.items())
     )
-    print(f"validation @ step {step}: psnr={np.mean(psnrs):.2f} ssim={np.mean(ssims):.4f}")
 
 
 def _visualize(cfg, field, state, camera, dataset, settings, log_dir, epoch) -> None:

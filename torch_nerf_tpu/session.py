@@ -87,6 +87,13 @@ def build_field(cfg: cfg_mod.ExperimentConfig) -> Field:
     if net.type == "nerf":
         if enc.type != "pe":
             raise ValueError("The classic NeRF network expects positional encoding.")
+        use_pallas = cfg.parallel.use_pallas
+        if use_pallas is None:
+            # auto: the fused kernel is the TPU hot path; it is tuned for
+            # MXU-width trunks (the XLA path wins on narrow debug configs)
+            import jax  # noqa: PLC0415
+
+            use_pallas = jax.default_backend() == "tpu" and net.feat_dim >= 128
         return make_nerf_field(
             pos_dim=net.pos_dim,
             view_dir_dim=net.view_dir_dim,
@@ -95,7 +102,7 @@ def build_field(cfg: cfg_mod.ExperimentConfig) -> Field:
             include_input=enc.include_input,
             feat_dim=net.feat_dim,
             compute_dtype=compute_dtype,
-            use_pallas=cfg.parallel.use_pallas,
+            use_pallas=use_pallas,
         )
     if net.type == "instant_nerf":
         from torch_nerf_tpu.fields_ngp import make_instant_ngp_field  # noqa: PLC0415
