@@ -24,22 +24,37 @@ import numpy as np
 REFERENCE_RAYS_PER_SEC = 10.0 * 4096.0
 
 
-def main() -> None:
+def main(model: str = "nerf") -> None:
     from torch_nerf_tpu import train
     from torch_nerf_tpu.datasets import synthetic
     from torch_nerf_tpu.fields import make_nerf_field
     from torch_nerf_tpu.renderer import RenderSettings
 
     num_pixels = 4096
-    settings = RenderSettings(
-        num_samples_coarse=64, num_samples_fine=128, t_near=2.0, t_far=6.0
-    )
     on_tpu = jax.default_backend() != "cpu"
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    # the fused Pallas encode+MLP kernel is the production TPU path
-    # (+52% over the XLA path at this operating point)
-    field = make_nerf_field(compute_dtype=compute_dtype, use_pallas=on_tpu)
-    optim = train.OptimConfig()
+    if model == "instant_nerf":
+        # hash-grid operating point: 256 coarse samples, no fine network
+        # (configs/instant_nerf.yaml in the reference)
+        from torch_nerf_tpu.fields_ngp import make_instant_ngp_field
+
+        settings = RenderSettings(
+            num_samples_coarse=256, num_samples_fine=0, t_near=2.0, t_far=6.0
+        )
+        field = make_instant_ngp_field(
+            compute_dtype=compute_dtype, table_layout="packed"
+        )
+        optim = train.OptimConfig(num_iter=300_000, init_lr=1e-2, end_lr=1e-3, eps=1e-15)
+        unit = "rays/s (fwd+bwd, 256 samples, instant-NGP packed hash grid)"
+    else:
+        settings = RenderSettings(
+            num_samples_coarse=64, num_samples_fine=128, t_near=2.0, t_far=6.0
+        )
+        # the fused Pallas encode+MLP kernel is the production TPU path
+        # (+52% over the XLA path at this operating point)
+        field = make_nerf_field(compute_dtype=compute_dtype, use_pallas=on_tpu)
+        optim = train.OptimConfig()
+        unit = "rays/s (fwd+bwd, 64c+192f samples, hierarchical NeRF)"
 
     # lego operating point: 400x400 training images
     images, poses, camera, _ = synthetic.make_dataset(num_views=8, img_size=400)
@@ -73,7 +88,7 @@ def main() -> None:
             {
                 "metric": "train_rays_per_sec_per_chip",
                 "value": round(rays_per_sec, 1),
-                "unit": "rays/s (fwd+bwd, 64c+192f samples, hierarchical NeRF)",
+                "unit": unit,
                 "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
             }
         )
@@ -81,4 +96,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main("instant_nerf" if "--model=instant_nerf" in sys.argv[1:] else "nerf")

@@ -106,3 +106,23 @@ def test_lr_schedule_matches_exponential_decay():
     assert np.isclose(float(sched(0)), 5e-4)
     assert np.isclose(float(sched(1000)), 5e-5, rtol=1e-3)
     assert np.isclose(float(sched(500)), np.sqrt(5e-4 * 5e-5), rtol=1e-3)
+
+
+def test_scene_field_container_queries_active_primitive():
+    """Scene aggregate: init covers all primitives, apply hits the active one."""
+    import numpy as np
+    from torch_nerf_tpu.fields import make_nerf_field, make_scene_field
+
+    a = make_nerf_field(coord_encode_level=2, dir_encode_level=1, feat_dim=16)
+    b = make_nerf_field(coord_encode_level=3, dir_encode_level=1, feat_dim=16)
+    scene = make_scene_field({"cube_a": a, "cube_b": b}, active="cube_b")
+
+    params = scene.init(jax.random.PRNGKey(0))
+    assert set(params) == {"cube_a", "cube_b"}
+
+    pts = jnp.asarray(np.random.default_rng(0).normal(size=(4, 2, 3)), jnp.float32)
+    dirs = jnp.asarray(np.random.default_rng(1).normal(size=(4, 2, 3)), jnp.float32)
+    sigma, rgb = scene.apply(params, pts, dirs)
+    s_b, r_b = b.apply(params["cube_b"], pts, dirs)
+    np.testing.assert_array_equal(np.asarray(sigma), np.asarray(s_b))
+    np.testing.assert_array_equal(np.asarray(rgb), np.asarray(r_b))

@@ -94,3 +94,32 @@ def make_nerf_field(
         return nerf_model.nerf_apply(params, pos_enc, dir_enc, compute_dtype=compute_dtype)
 
     return Field(init=init, apply=apply, name="nerf")
+
+
+def make_scene_field(primitives: "dict[str, Field]", active: str) -> Field:
+    """Multi-primitive scene container -> one queryable ``Field``.
+
+    Functional counterpart of the reference's ``Scene`` aggregate
+    (``/root/reference/torch_nerf/src/scene/scene.py:7-45``): it registers a
+    collection of primitives and forwards ``query_points`` to the one being
+    rendered. (The reference's version holds a Sequence but calls
+    ``query_points`` on the collection itself — a latent bug, since the
+    runners always bypass ``Scene`` and query the primitive directly at
+    ``runner_utils.py:630-633``; here the container actually works.)
+    Params are a dict keyed by primitive name, so checkpoints of a composed
+    scene carry every primitive's weights.
+    """
+    if active not in primitives:
+        raise KeyError(f"active primitive '{active}' not among {sorted(primitives)}")
+
+    def init(key: jax.Array):
+        keys = jax.random.split(key, len(primitives))
+        return {
+            name: field.init(k)
+            for (name, field), k in zip(sorted(primitives.items()), keys)
+        }
+
+    def apply(params, pts: jnp.ndarray, dirs: jnp.ndarray):
+        return primitives[active].apply(params[active], pts, dirs)
+
+    return Field(init=init, apply=apply, name=f"scene[{active}]")
