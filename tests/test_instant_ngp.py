@@ -261,3 +261,40 @@ def test_packed_table_grad_matches_plain_autodiff():
     np.testing.assert_allclose(
         np.asarray(g_custom), np.asarray(g_plain), rtol=1e-5, atol=1e-6
     )
+
+
+def test_hash_encode_matches_naive_per_corner_loop():
+    """Lane-major hash_encode vs a direct per-corner reference loop
+    (the reference algorithm restated: hash EACH corner, blend trilinearly)."""
+    L, logT, F = 3, 10, 2
+    T = 2**logT
+    tables = instant_ngp.init_hash_table(jax.random.PRNGKey(2), L, logT, F)
+    res = instant_ngp.level_resolutions(L, 4, 16)
+    pts = np.random.default_rng(11).uniform(-1.5, 1.5, (13, 3)).astype(np.float32)
+
+    out = np.asarray(
+        instant_ngp.hash_encode(tables, jnp.asarray(pts), jnp.asarray(res))
+    )
+
+    tab_np = np.asarray(tables)
+    corners = np.asarray(instant_ngp._CORNERS)
+    for n in range(pts.shape[0]):
+        for level in range(L):
+            scaled = pts[n] * res[level]
+            floor, ceil = np.floor(scaled), np.ceil(scaled)
+            expect = np.zeros(F, dtype=np.float64)
+            for c in range(8):
+                vert = floor + corners[c] * (ceil - floor)
+                row = int(
+                    np.asarray(
+                        instant_ngp.spatial_hash(
+                            jnp.asarray(vert[None].astype(np.int32)), T
+                        )
+                    )[0]
+                )
+                opposite = floor + (1.0 - corners[c]) * (ceil - floor)
+                w = np.prod(np.abs(opposite - scaled))
+                expect += w * tab_np[level, row]
+            np.testing.assert_allclose(
+                out[n, level * F : (level + 1) * F], expect, rtol=1e-4, atol=1e-6
+            )
