@@ -145,3 +145,30 @@ def test_tp_matches_replicated_numerics():
     np.testing.assert_allclose(
         float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-4
     )
+
+
+def test_sharded_render_matches_single_device():
+    """Full-image render sharded over 8 devices == 1-device render."""
+    import numpy as np
+    from torch_nerf_tpu import train
+    from torch_nerf_tpu.cameras import CameraParams
+    from torch_nerf_tpu.fields import make_nerf_field
+    from torch_nerf_tpu.parallel import make_mesh, make_sharded_render
+    from torch_nerf_tpu.renderer import RenderSettings
+
+    field = make_nerf_field(coord_encode_level=3, dir_encode_level=2, feat_dim=32)
+    settings = RenderSettings(num_samples_coarse=8, num_samples_fine=8)
+    optim = train.OptimConfig(num_iter=10)
+    state = train.create_train_state(jax.random.PRNGKey(0), field, settings, optim)
+    camera = CameraParams(focal_x=20.0, focal_y=20.0, img_width=16, img_height=12)
+    pose = jnp.eye(4)
+    key = jax.random.PRNGKey(7)
+
+    render8 = make_sharded_render(field, settings, make_mesh(("data",)), camera)
+    render1 = make_sharded_render(
+        field, settings, make_mesh(("data",), devices=jax.devices()[:1]), camera
+    )
+    img8 = render8(state.params["coarse"], state.params["fine"], pose, key)
+    img1 = render1(state.params["coarse"], state.params["fine"], pose, key)
+    assert img8.shape == (12, 16, 3)
+    np.testing.assert_allclose(np.asarray(img8), np.asarray(img1), rtol=2e-5, atol=2e-5)

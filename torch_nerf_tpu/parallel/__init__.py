@@ -24,6 +24,7 @@ scratch:
 from torch_nerf_tpu.parallel.mesh import (
     make_mesh,
     make_sharded_image_train_step,
+    make_sharded_render,
     make_sharded_train_step,
     nerf_param_spec,
     replicate_state,
@@ -38,6 +39,7 @@ __all__ = [
     "make_mesh",
     "make_sample_sharded_composite",
     "make_sharded_image_train_step",
+    "make_sharded_render",
     "make_sharded_train_step",
     "nerf_param_spec",
     "replicate_state",

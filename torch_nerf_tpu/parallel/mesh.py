@@ -184,6 +184,58 @@ def make_sharded_train_step(
     return build, place_state
 
 
+def make_sharded_render(
+    field: Field,
+    settings: RenderSettings,
+    mesh: Mesh,
+    camera: cameras.CameraParams,
+    data_axis: str = "data",
+):
+    """Data-parallel full-image render: each chip renders its ray shard.
+
+    The eval-side counterpart of the sharded train step (SURVEY.md §5.8:
+    "each chip renders its ray shard; all_gather reassembles frames"): all
+    H*W pixel rays are generated in-jit, split over ``data_axis`` with a
+    sharding constraint, rendered in one pass (the fused field kernel
+    streams tiles, so per-chip memory is bounded by its shard), and the
+    replicated output sharding makes XLA insert the final all-gather.
+
+    Returns ``render(params_coarse, params_fine, key) -> (H, W, 3)``.
+    """
+    from torch_nerf_tpu.renderer import render_rays  # noqa: PLC0415
+
+    h, w = camera.img_height, camera.img_width
+    num_pixels = h * w
+    num_devices = int(mesh.shape[data_axis])
+    padded = -(-num_pixels // num_devices) * num_devices
+
+    ray_sharding = NamedSharding(mesh, P(data_axis))
+    replicated = NamedSharding(mesh, P())
+
+    def render_fn(params_coarse, params_fine, extrinsic, key):
+        pixel_idx = jnp.minimum(
+            jnp.arange(padded, dtype=jnp.int32), num_pixels - 1
+        )
+        ray_o, ray_d = cameras.rays_for_pixels(
+            pixel_idx,
+            camera,
+            extrinsic,
+            use_ndc=settings.project_to_ndc,
+            ndc_z_near=settings.ndc_z_near,
+        )
+        ray_o = jax.lax.with_sharding_constraint(ray_o, ray_sharding)
+        ray_d = jax.lax.with_sharding_constraint(ray_d, ray_sharding)
+        out = render_rays(field, params_coarse, params_fine, ray_o, ray_d, key, settings)
+        rgb = out["rgb_fine"] if settings.hierarchical else out["rgb_coarse"]
+        return rgb[:num_pixels].reshape(h, w, 3)
+
+    return jax.jit(
+        render_fn,
+        in_shardings=(replicated, replicated, replicated, replicated),
+        out_shardings=replicated,
+    )
+
+
 def make_sharded_image_train_step(
     field: Field,
     settings: RenderSettings,
