@@ -65,17 +65,36 @@ def main(argv=None) -> None:
     out_dir = Path(args.out_dir or (log_dir / "render"))
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    # multi-chip: shard each frame's rays over all devices (psum-free DP eval)
+    sharded = None
+    if jax.device_count() > 1 and cfg.parallel.data_axis_size != 1:
+        from torch_nerf_tpu.parallel import make_mesh, make_sharded_render  # noqa: PLC0415
+
+        dp = cfg.parallel.data_axis_size
+        dp = jax.device_count() if dp == -1 else dp
+        mesh = make_mesh(("data",), devices=jax.devices()[:dp])
+        sharded = make_sharded_render(field, settings, mesh, dataset.camera)
+        print(f"Rendering data-parallel over {dp} devices.")
+
     for i, pose in enumerate(poses):
-        img = render_image(
-            field,
-            state.params["coarse"],
-            state.params.get("fine"),
-            dataset.camera,
-            jnp.asarray(pose),
-            jax.random.PRNGKey(i),
-            settings,
-            chunk_size=cfg.renderer.num_pixels,
-        )
+        if sharded is not None:
+            img = sharded(
+                state.params["coarse"],
+                state.params.get("fine"),
+                jnp.asarray(pose),
+                jax.random.PRNGKey(i),
+            )
+        else:
+            img = render_image(
+                field,
+                state.params["coarse"],
+                state.params.get("fine"),
+                dataset.camera,
+                jnp.asarray(pose),
+                jax.random.PRNGKey(i),
+                settings,
+                chunk_size=cfg.renderer.num_pixels,
+            )
         save_png(out_dir / f"{i:04d}.png", np.asarray(img))
         print(f"rendered view {i + 1}/{len(poses)}")
 
