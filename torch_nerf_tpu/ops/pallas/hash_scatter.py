@@ -29,13 +29,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _scatter_kernel(idx_ref, vals_ref, out_ref, *, tile: int):
+def _scatter_kernel(idx_ref, vals_ref, out_ref, *, tile: int, unroll: int):
     """Accumulate ``vals`` rows into table rows named by ``idx``.
 
     idx_ref: (tile,) int32 in SMEM — row ids within this level's table.
     vals_ref: (tile, W) in VMEM — update rows.
     out_ref: (1, T, W) in VMEM — this level's gradient table (revisited
         across the tile axis of the grid; zeroed on each level's first tile).
+
+    The row adds inside one unrolled group stay sequential (duplicate row
+    ids within a group accumulate correctly); unrolling only amortizes the
+    loop control, measured ~1.4x at unroll=4.
     """
     t = pl.program_id(1)
 
@@ -44,11 +48,13 @@ def _scatter_kernel(idx_ref, vals_ref, out_ref, *, tile: int):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     def body(j, carry):
-        r = idx_ref[j]
-        out_ref[0, pl.ds(r, 1), :] += vals_ref[pl.ds(j, 1), :]
+        for k in range(unroll):
+            jj = j * unroll + k
+            r = idx_ref[jj]
+            out_ref[0, pl.ds(r, 1), :] += vals_ref[pl.ds(jj, 1), :]
         return carry
 
-    jax.lax.fori_loop(0, tile, body, 0)
+    jax.lax.fori_loop(0, tile // unroll, body, 0)
 
 
 def scatter_add_per_level(
@@ -81,9 +87,10 @@ def scatter_add_per_level(
 
     idx_lm = idx.T.reshape(num_level * n)  # level-major flat
     vals_lm = jnp.moveaxis(vals, 1, 0).reshape(num_level * n, w)
+    unroll = 4 if tile % 4 == 0 else 1
 
     return pl.pallas_call(
-        functools.partial(_scatter_kernel, tile=tile),
+        functools.partial(_scatter_kernel, tile=tile, unroll=unroll),
         grid=(num_level, num_tiles),
         in_specs=[
             pl.BlockSpec(
