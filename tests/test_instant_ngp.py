@@ -136,19 +136,20 @@ def test_instant_ngp_field_trains():
 def test_hash_encode_packed_matches_naive_loop():
     """Voxel-packed encode vs a direct per-point/per-level numpy loop."""
     L, logT, F = 3, 9, 2
-    T = 2**logT // 8  # packed rows: 8 corner slots each
+    T = 2**logT // 8  # logical packed rows: 8 corner slots each
+    fold = 128 // (8 * F)
     key = jax.random.PRNGKey(3)
     tables = instant_ngp.init_packed_hash_table(key, L, logT, F)
-    assert tables.shape == (L, T, 8 * F)
+    assert tables.shape == (L, T // fold, 128)
     res = instant_ngp.level_resolutions(L, 4, 16)
     rng = np.random.default_rng(7)
     pts = rng.uniform(-1.5, 1.5, (17, 3)).astype(np.float32)
 
     out = np.asarray(
-        instant_ngp.hash_encode_packed(tables, jnp.asarray(pts), jnp.asarray(res))
+        instant_ngp.hash_encode_packed(tables, jnp.asarray(pts), jnp.asarray(res), F)
     )
 
-    tab_np = np.asarray(tables)
+    tab_np = np.asarray(instant_ngp.unfold_packed_table(tables, F))
     primes = np.array([1, 2654435761, 805459861], dtype=np.uint64)
     corners = np.asarray(instant_ngp._CORNERS)
     for n in range(pts.shape[0]):
@@ -182,7 +183,8 @@ def test_packed_field_trains_and_matches_shapes():
         table_layout="packed",
     )
     params = field.init(jax.random.PRNGKey(0))
-    assert params["tables"].shape == (4, 32, 16)  # 2^8 corner slots / 8 per row
+    # 2^8 corner slots / 8 per packed row = 32 rows, folded 8 rows per line
+    assert params["tables"].shape == (4, 4, 128)
 
     pts = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (8, 4, 3)), jnp.float32)
     dirs = jnp.asarray(np.random.default_rng(1).normal(size=(8, 4, 3)), jnp.float32)
@@ -199,22 +201,27 @@ def test_packed_field_trains_and_matches_shapes():
     assert np.all(np.isfinite(np.asarray(grads["tables"])))
 
 
-def test_pallas_hash_scatter_matches_xla(monkeypatch):
-    """Interpret-mode Pallas scatter == XLA .at[].add, per level."""
-    from torch_nerf_tpu.ops.pallas.hash_scatter import scatter_add_per_level
+def test_folded_kernels_interpret_match_xla_path():
+    """Interpret-mode Pallas encode (fwd + grad) == the XLA fallback path.
 
-    rng = np.random.default_rng(0)
-    N, L, T, W = 100, 3, 16, 8  # N deliberately not a tile multiple
-    idx = jnp.asarray(rng.integers(0, T, (N, L)).astype(np.int32))
-    vals = jnp.asarray(rng.normal(size=(N, L, W)).astype(np.float32))
+    N deliberately not a multiple of 128 to exercise the tile padding the
+    round-1 scatter kernel got wrong on small batches (ADVICE.md)."""
+    L, logT, F = 3, 9, 4
+    key = jax.random.PRNGKey(3)
+    tables = instant_ngp.init_packed_hash_table(key, L, logT, F)
+    res = jnp.asarray(instant_ngp.level_resolutions(L, 4, 16))
+    pts = jnp.asarray(
+        np.random.default_rng(9).uniform(-1.5, 1.5, (100, 3)), jnp.float32
+    )
 
-    out = scatter_add_per_level(idx, vals, T, tile=32, interpret=True)
+    def loss(t, interpret):
+        out = instant_ngp.hash_encode_packed(t, pts, res, F, interpret=interpret)
+        return jnp.sum(out**2), out
 
-    expect = np.zeros((L, T, W), np.float32)
-    for level in range(L):
-        for j in range(N):
-            expect[level, int(idx[j, level])] += np.asarray(vals[j, level])
-    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-5)
+    (l_k, out_k), g_k = jax.value_and_grad(loss, has_aux=True)(tables, True)
+    (l_x, out_x), g_x = jax.value_and_grad(loss, has_aux=True)(tables, False)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x), rtol=1e-5, atol=1e-6)
 
 
 def test_packed_table_grad_matches_plain_autodiff():
@@ -228,10 +235,12 @@ def test_packed_table_grad_matches_plain_autodiff():
     )
 
     def loss_custom(t):
-        return jnp.sum(instant_ngp.hash_encode_packed(t, pts, res) ** 2)
+        return jnp.sum(instant_ngp.hash_encode_packed(t, pts, res, F) ** 2)
 
-    def encode_plain(t):
-        # same math, plain jnp.take (no custom_vjp) — the autodiff oracle
+    def encode_plain(t_folded):
+        # same math, plain jnp.take (no custom_vjp) — the autodiff oracle,
+        # on the unfolded (L, rows, 8F) logical packed layout
+        t = instant_ngp.unfold_packed_table(t_folded, F)
         num_level, num_rows, row_dim = t.shape
         feat_dim = row_dim // 8
         primes = jnp.asarray(instant_ngp._HASH_PRIMES, dtype=jnp.uint32)

@@ -19,6 +19,22 @@ Reference quirks preserved deliberately (documented for parity):
 * raw (unnormalized, possibly negative) world coordinates are hashed; the
   spatial hash is int32 with wraparound multiply and non-negative modulo
   (``instant_ngp.py:558-568``).
+
+Two table layouts:
+
+* ``"hash"`` — reference-parity per-corner hashing (8 hash lookups per
+  (point, level)), for numerical comparison against the reference.
+* ``"packed"`` — the TPU-fast layout: the voxel's floor corner is hashed
+  ONCE per (point, level) and all 8 corner feature vectors live in one
+  table row, stored lane-FOLDED as (L, rows/fold, 128) with
+  ``fold = 128 // (8F)`` so no lane padding exists anywhere (measured 8x
+  byte savings and ~2.5x scatter-rate gain at F=2 on v5e). Lookups run in
+  the Pallas kernels of ``ops.pallas.hash_fold`` (~200M rows/s gather,
+  ~140M rows/s gradient scatter vs 155M / 9M for XLA). Trade-off
+  (documented, opt-in): lattice corners are not shared between adjacent
+  voxels, so the encoded field can be discontinuous at voxel boundaries;
+  quality parity is settled empirically by ``scripts/experiments/
+  packed_vs_hash_quality.py`` (see PARITY.md).
 """
 
 from __future__ import annotations
@@ -29,48 +45,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-Params = Dict[str, Any]
-
-# Teschner et al. 2003 spatial-hash primes (instant_ngp.py:558-562)
-_HASH_PRIMES = (1, 2654435761, 805459861)
-
-# (8, 3) corner selector: 0 -> floor, 1 -> ceil; ordering matches the
-# reference's fff, cff, fcf, ffc, ccf, cfc, fcc, ccc (instant_ngp.py:420-440)
-_CORNERS = np.array(
-    [
-        [0, 0, 0],
-        [1, 0, 0],
-        [0, 1, 0],
-        [0, 0, 1],
-        [1, 1, 0],
-        [1, 0, 1],
-        [0, 1, 1],
-        [1, 1, 1],
-    ],
-    dtype=np.float32,
+from torch_nerf_tpu.models.hash_math import (
+    CORNERS as _CORNERS,
+    HASH_PRIMES as _HASH_PRIMES,
+    LANES,
+    level_resolutions,
+    spatial_hash,
 )
 
+Params = Dict[str, Any]
 
-def level_resolutions(num_level: int, min_res: int, max_res: int) -> np.ndarray:
-    """Geometric progression floor(min * b^l), b = (max/min)^(1/(L-1))."""
-    coeff = (max_res / min_res) ** (1.0 / (num_level - 1))
-    return np.floor(min_res * coeff ** np.arange(num_level)).astype(np.float32)
-
-
-def spatial_hash(vert_coords: jnp.ndarray, num_entries: int) -> jnp.ndarray:
-    """XOR of prime-multiplied int32 coords, mod table size -> (...,).
-
-    ``vert_coords``: (..., 3) int32. Multiplication wraps in int32 exactly as
-    torch's does; ``%`` returns non-negative values for a positive modulus in
-    both frameworks.
-    """
-    primes = jnp.asarray(_HASH_PRIMES, dtype=jnp.uint32)
-    v = vert_coords.astype(jnp.uint32) * primes
-    h = jnp.bitwise_xor(jnp.bitwise_xor(v[..., 0], v[..., 1]), v[..., 2])
-    # torch computes the xor in int32 then takes a sign-following modulo;
-    # reinterpret as int32 before the mod to reproduce that exactly.
-    h_signed = h.astype(jnp.int32)
-    return jnp.mod(h_signed, jnp.int32(num_entries)).astype(jnp.int32)
+__all__ = [
+    "level_resolutions",
+    "spatial_hash",
+    "init_hash_table",
+    "hash_encode",
+    "init_packed_hash_table",
+    "unfold_packed_table",
+    "hash_encode_packed",
+    "hash_encode_packed128",
+    "init_small_mlp",
+    "small_mlp_apply",
+    "init_instant_ngp_params",
+    "instant_ngp_apply",
+]
 
 
 def init_hash_table(
@@ -146,25 +144,8 @@ def hash_encode(
 
 
 # ---------------------------------------------------------------------------
-# voxel-packed layout: the TPU-fast hash grid
-#
-# Measured on TPU v5e: XLA's gather/scatter runs at a fixed INDEX rate
-# (~70M element-indices/s; ~155M row-indices/s regardless of row width), so
-# hash-grid throughput is set by the NUMBER of gather indices, not bytes.
-# The reference layout needs L*8 = 128 element lookups per sample point
-# (~270M indices/step at the 4096x256 operating point -> seconds per step).
-# The packed layout hashes the voxel's FLOOR corner once per (point, level)
-# and stores all 8 corner features contiguously in one table row
-# -> L = 16 row lookups per point, a ~16x reduction in gather indices and
-# an ~8x reduction in backward scatter indices.
-#
-# Trade-off (documented, opt-in via ``table_layout="packed"``): lattice
-# corners are no longer shared between adjacent voxels, so the encoded
-# field is trilinear within each voxel but may be discontinuous across
-# voxel boundaries (adjacent voxels learn independent copies of the shared
-# corner, trained from the same photometric signal). This is the same class
-# of approximation as non-shared "texture patch" grids; reconstruction
-# quality is validated by the overfit tests.
+# voxel-packed, lane-folded layout: the TPU-fast hash grid (see module
+# docstring and ops/pallas/hash_fold.py for the design rationale)
 
 
 def init_packed_hash_table(
@@ -173,114 +154,103 @@ def init_packed_hash_table(
     log_max_entry_per_level: int,
     feat_dim: int,
 ) -> jnp.ndarray:
-    """(L, T/8, 8*F) voxel-packed tables, U(-1e-4, 1e-4) init.
+    """(L, rows/fold, 128) lane-folded voxel-packed tables, U(-1e-4, 1e-4).
 
     ``log_max_entry_per_level`` keeps the reference meaning (log2 of
     per-level corner-feature capacity): a packed row holds 8 corner slots,
-    so the row count is ``2**log / 8`` and the parameter count per level is
-    identical to the reference layout's ``2**log * F``.
+    so the logical row count is ``2**log / 8`` and the parameter count per
+    level is identical to the reference layout's ``2**log * F``. ``fold``
+    rows share one 128-lane line (a pure reshape of the packed layout).
     """
-    shape = (num_level, 2**log_max_entry_per_level // 8, 8 * feat_dim)
+    from torch_nerf_tpu.ops.pallas.hash_fold import fold_factor  # noqa: PLC0415
+
+    fold = fold_factor(feat_dim)
+    rows = 2**log_max_entry_per_level // 8
+    if rows % fold != 0:
+        raise ValueError(
+            f"log_max_entry_per_level={log_max_entry_per_level} too small for "
+            f"feat_dim={feat_dim} (need at least {fold} packed rows per line)"
+        )
+    shape = (num_level, rows // fold, LANES)
     return jax.random.uniform(key, shape, jnp.float32, -1e-4, 1e-4)
 
 
-@jax.custom_vjp
-def _packed_rows_lookup(tables: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Gather packed rows: (L, T, W) tables + (C, L) level-local row ids
-    -> (C, L, W).
+def unfold_packed_table(tables: jnp.ndarray, feat_dim: int) -> jnp.ndarray:
+    """Folded (L, rows/fold, 128) -> logical packed (L, rows, 8F) view."""
+    num_level, t_fold, _ = tables.shape
+    fold = LANES // (8 * feat_dim)
+    return tables.reshape(num_level, t_fold * fold, 8 * feat_dim)
 
-    Forward is XLA's row gather (~155M rows/s on v5e). The backward —
-    a scatter-add of the cotangent rows — is the Pallas VMEM kernel in
-    ``ops.pallas.hash_scatter`` (~7x XLA's scatter); on non-TPU backends it
-    falls back to XLA's native scatter.
+
+def hash_encode_packed128(
+    tables: jnp.ndarray,
+    coords: jnp.ndarray,
+    resolutions: jnp.ndarray,
+    feat_dim: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Voxel-packed query of all levels -> (N, 128) feature LINES: the
+    level-major packed features occupy lanes [0, L*F), the rest are zero.
+
+    This is the production shape — it feeds the (lane-padded) density MLP
+    directly so no narrow (N, L*F) array ever exists on TPU. ``tables``:
+    (L, rows/fold, 128) folded; ``coords``: (N, 3); ``resolutions``: (L,).
+    Points are processed in chunks sized so the level-major (L, chunk, 128)
+    weight-line stream stays ~1 GiB; the backward recomputes that stream
+    instead of saving it (see ``ops.pallas.hash_fold.encode_folded``). On
+    TPU the lookups run in the Pallas kernels; elsewhere an equivalent XLA
+    path is used (``interpret=True`` forces the kernels in interpreter
+    mode for tests).
     """
-    num_level, num_rows, w = tables.shape
-    level_offset = jnp.arange(num_level, dtype=jnp.int32) * num_rows
-    flat = tables.reshape(num_level * num_rows, w)
-    rows = jnp.take(flat, (idx + level_offset[None, :]).reshape(-1), axis=0)
-    return rows.reshape(idx.shape[0], num_level, w)
+    from torch_nerf_tpu.ops.pallas.hash_fold import FoldCfg, encode_folded  # noqa: PLC0415
 
+    num_level, t_fold, _ = tables.shape
+    fold = LANES // (8 * feat_dim)
+    num_rows = t_fold * fold
+    n = coords.shape[0]
+    use_kernel = interpret or jax.default_backend() == "tpu"
 
-def _packed_rows_lookup_fwd(tables, idx):
-    return _packed_rows_lookup(tables, idx), (idx, tables.shape)
+    # tile: multiple of 1024 — XLA lays out rank-1 s32 arrays with tiling
+    # T(1024), and Mosaic rejects SMEM blocks that don't align with it
+    # (small batches crashed the round-1 kernel this way, ADVICE.md)
+    tile = min(8192, -(-n // 1024) * 1024)
+    max_chunk = tile * max(1, ((1 << 21) // num_level) // tile)
+    chunk = min(max_chunk, -(-n // tile) * tile)
+    padded_n = -(-n // chunk) * chunk
+    # zero-padding is safe: integral scaled coords give all-zero weights
+    coords_p = jnp.pad(coords, ((0, padded_n - n), (0, 0)))
+    cfg = FoldCfg(
+        feat_dim=feat_dim, num_rows=num_rows, use_kernel=use_kernel,
+        interpret=interpret, tile=tile,
+        # measured on v5e at the 1M-point operating point: holding the
+        # (L, N, 128) weight lines across fwd->bwd (save_prep=True) costs
+        # more HBM time than the fused elementwise recompute (80.6 vs
+        # 73.7 ms/step at L=4) — always recompute.
+        save_prep=False,
+    )
 
-
-def _packed_rows_lookup_bwd(residuals, g_rows):
-    idx, (num_level, num_rows, w) = residuals
-    if jax.default_backend() == "tpu":
-        from torch_nerf_tpu.ops.pallas.hash_scatter import scatter_add_per_level  # noqa: PLC0415
-
-        dtables = scatter_add_per_level(idx, g_rows.astype(jnp.float32), num_rows)
+    if padded_n == chunk:
+        out = encode_folded(cfg, tables, coords_p, resolutions)
     else:
-        level_offset = jnp.arange(num_level, dtype=jnp.int32) * num_rows
-        flat_idx = (idx + level_offset[None, :]).reshape(-1)
-        dflat = jnp.zeros((num_level * num_rows, w), jnp.float32)
-        dflat = dflat.at[flat_idx].add(g_rows.reshape(-1, w).astype(jnp.float32))
-        dtables = dflat.reshape(num_level, num_rows, w)
-    import numpy as _np  # noqa: PLC0415
-
-    didx = _np.zeros(idx.shape, dtype=jax.dtypes.float0)
-    return dtables, didx
-
-
-_packed_rows_lookup.defvjp(_packed_rows_lookup_fwd, _packed_rows_lookup_bwd)
+        out = jax.lax.map(
+            lambda pts: encode_folded(cfg, tables, pts, resolutions),
+            coords_p.reshape(-1, chunk, 3),
+        ).reshape(padded_n, LANES)
+    return out[:n]
 
 
 def hash_encode_packed(
     tables: jnp.ndarray,
     coords: jnp.ndarray,
     resolutions: jnp.ndarray,
-    chunk: int = 131072,
+    feat_dim: int,
+    interpret: bool = False,
 ) -> jnp.ndarray:
-    """Voxel-packed query: all levels -> (N, L * F).
-
-    ``tables``: (L, T, 8*F); ``coords``: (N, 3); ``resolutions``: (L,).
-    Points are processed in ``lax.map`` chunks: each gathered row is padded
-    to 128 lanes by the TPU tiling, so the (chunk*L, 8*F) gather buffer is
-    bounded (~1 GiB padded at the default chunk) instead of materializing
-    (N*L, 128) for the full batch. 128Ki points/chunk measured ~3% faster
-    end-to-end than 64Ki (fewer scan iterations) while keeping peak HBM low.
-    """
-    num_level, num_entries, row_dim = tables.shape
-    feat_dim = row_dim // 8
-    n = coords.shape[0]
-    chunk = min(chunk, -(-n // 8) * 8)  # small inputs: one right-sized chunk
-    primes = jnp.asarray(_HASH_PRIMES, dtype=jnp.uint32)
-    corner_bits = jnp.asarray(_CORNERS)  # (8, 3)
-
-    padded_n = -(-n // chunk) * chunk
-    coords_p = jnp.pad(coords, ((0, padded_n - n), (0, 0)))
-    chunks = coords_p.reshape(padded_n // chunk, chunk, 3)
-
-    def encode_chunk(pts: jnp.ndarray) -> jnp.ndarray:
-        idx = jnp.zeros((chunk, num_level), dtype=jnp.uint32)
-        # per-(level, corner) trilinear weights, lanes = L*8
-        weights = jnp.ones((chunk, num_level * 8), dtype=pts.dtype)
-        for axis in range(3):
-            scaled = pts[:, axis : axis + 1] * resolutions[None, :]  # (C, L)
-            floor = jnp.floor(scaled)
-            span = jnp.ceil(scaled) - floor
-            # voxel identity = floor corner only (one hash per level)
-            idx = jnp.bitwise_xor(
-                idx, floor.astype(jnp.int32).astype(jnp.uint32) * primes[axis]
-            )
-            bit = jnp.tile(corner_bits[:, axis], (num_level,))[None, :]  # (1, L*8)
-            rep = jnp.repeat(scaled, 8, axis=-1)  # (C, L*8)
-            span8 = jnp.repeat(span, 8, axis=-1)
-            floor8 = jnp.repeat(floor, 8, axis=-1)
-            opposite = floor8 + (1.0 - bit) * span8
-            weights = weights * jnp.abs(opposite - rep)
-
-        idx = jnp.mod(idx.astype(jnp.int32), jnp.int32(num_entries))  # (C, L)
-
-        rows = _packed_rows_lookup(tables, idx)  # (C, L, 8*F)
-        feats = rows.reshape(chunk, num_level, 8, feat_dim)
-        w = weights.reshape(chunk, num_level, 8)
-        blended = jnp.sum(feats * w[..., None], axis=2)  # (C, L, F)
-        return blended.reshape(chunk, num_level * feat_dim)
-
-    out = jax.lax.map(encode_chunk, chunks)
-    return out.reshape(padded_n, num_level * feat_dim)[:n]
+    """Voxel-packed query of all levels -> (N, L * F) (the narrow view of
+    ``hash_encode_packed128``, for API parity with ``hash_encode``)."""
+    num_level = tables.shape[0]
+    out = hash_encode_packed128(tables, coords, resolutions, feat_dim, interpret)
+    return out[:, : num_level * feat_dim]
 
 
 # ---------------------------------------------------------------------------
@@ -347,7 +317,7 @@ def init_instant_ngp_params(
     Dims per ``instant_ngp.py:74-105``: density MLP (L*F -> 64 -> 16, one
     hidden layer), color MLP (16 + view_dir_dim -> 64 -> 64 -> 3, two hidden
     layers). ``table_layout``: "hash" = reference-parity per-corner hashing;
-    "packed" = TPU-fast voxel-packed rows (see ``hash_encode_packed``).
+    "packed" = TPU-fast lane-folded voxel rows (see ``hash_encode_packed``).
     """
     table_key, density_key, color_key = jax.random.split(key, 3)
     density_mlp_out = 16
@@ -399,9 +369,24 @@ def instant_ngp_apply(
     flat_pos = pos.reshape(-1, 3)
     flat_dir = view_dir_enc.reshape(-1, view_dir_enc.shape[-1])
 
-    encode = hash_encode if table_layout == "hash" else hash_encode_packed
-    feats = encode(params["tables"], flat_pos, resolutions)
-    density_out = small_mlp_apply(params["density_mlp"], feats, compute_dtype)
+    if table_layout == "hash":
+        feats = hash_encode(params["tables"], flat_pos, resolutions)
+        density_mlp = params["density_mlp"]
+    else:
+        num_level = params["tables"].shape[0]
+        feat_dim = params["density_mlp"]["fc_in"]["w"].shape[0] // num_level
+        # 128-lane feature lines feed an fc_in zero-padded to 128 input rows
+        # (identical math, no narrow arrays on the TPU hot path)
+        feats = hash_encode_packed128(
+            params["tables"], flat_pos, resolutions, feat_dim
+        )
+        w_in = params["density_mlp"]["fc_in"]["w"]
+        density_mlp = dict(params["density_mlp"])
+        density_mlp["fc_in"] = {
+            "w": jnp.pad(w_in, ((0, LANES - w_in.shape[0]), (0, 0))),
+            "b": params["density_mlp"]["fc_in"]["b"],
+        }
+    density_out = small_mlp_apply(density_mlp, feats, compute_dtype)
     sigma = jnp.exp2(density_out[..., 0])
 
     color_in = jnp.concatenate([density_out, flat_dir], axis=-1)
