@@ -77,3 +77,27 @@ def test_unknown_key_rejected(tmp_path):
     path.write_text("rendererr:\n  num_pixels: 1\n")
     with pytest.raises(KeyError):
         config.load_config(path)
+
+
+def test_missing_table_layout_falls_back_to_hash():
+    """Configs from runs predating the packed layout must resume as 'hash'
+    so their checkpoints keep their (L, T, F) table interpretation."""
+    data = config.to_dict(config.ExperimentConfig())
+    del data["network"]["table_layout"]
+    cfg = config.from_dict(data)
+    assert cfg.network.table_layout == "hash"
+
+
+def test_inert_config_values_rejected():
+    """objective.loss_type / scene.type are validated, not silently ignored."""
+    import pytest
+    from torch_nerf_tpu import session
+
+    cfg = config.ExperimentConfig()
+    cfg.objective.loss_type = "l1"
+    with pytest.raises(ValueError, match="loss_type"):
+        session.build_optim_config(cfg)
+    cfg = config.ExperimentConfig()
+    cfg.scene.type = "sphere"
+    with pytest.raises(ValueError, match="scene"):
+        session.build_optim_config(cfg)

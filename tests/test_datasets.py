@@ -182,3 +182,58 @@ def test_orbit_poses_match_reference_pose_spherical():
     assert np.isclose(np.linalg.norm(pos), 4.0, rtol=1e-5)
     # theta=0 -> camera on the -y...z arc (x=0 after the flip matrix)
     assert abs(pos[0]) < 1e-5
+
+
+def test_synthetic_splits_are_disjoint_novel_views():
+    """val/test poses must differ from train poses (real held-out views)."""
+    train = synthetic.split_poses(4, "train")
+    val = synthetic.split_poses(4, "val")
+    test = synthetic.split_poses(4, "test")
+    for a, b in [(train, val), (train, test), (val, test)]:
+        dists = np.linalg.norm(a[:, None, :3, 3] - b[None, :, :3, 3], axis=-1)
+        assert dists.min() > 0.05, "splits share a camera position"
+
+
+def test_session_val_split_full_resolution():
+    """Validation data is the val split at FULL resolution, mirroring the
+    reference's half_res=False val loading (runners/train.py:67-68)."""
+    from torch_nerf_tpu import config as cfg_mod, session
+
+    cfg = cfg_mod.ExperimentConfig()
+    cfg.data.dataset_type = "gaussian_blobs"
+    cfg.data.img_size = 16
+    cfg.data.num_views = 2
+    cfg.data.half_res = True
+
+    train_ds = session.build_dataset(cfg, split="train")
+    val_ds = session.build_dataset(cfg, split="val")
+    assert train_ds.camera.img_height == 16
+    assert val_ds.camera.img_height == 32  # full res = 2x the half-res train
+    # genuinely novel views
+    dists = np.linalg.norm(
+        train_ds.poses[:, None, :3, 3] - val_ds.poses[None, :, :3, 3], axis=-1
+    )
+    assert dists.min() > 0.05
+
+
+def test_session_llff_holdout_split(llff_scene):
+    """LLFF: train excludes the holdout view; val/test contain exactly it
+    (load_llff.py:561-565)."""
+    from torch_nerf_tpu import config as cfg_mod, session
+
+    cfg = cfg_mod.ExperimentConfig()
+    cfg.data.dataset_type = "nerf_llff"
+    cfg.data.data_root = str(llff_scene)
+    cfg.data.scene_name = "fern"
+    cfg.data.factor = 1
+
+    full = llff.load_llff(llff_scene, "fern", factor=1)
+    holdout = llff.llff_holdout_index(full.poses)
+
+    train_ds = session.build_dataset(cfg, split="train")
+    test_ds = session.build_dataset(cfg, split="test")
+    assert train_ds.num_views == full.num_views - 1
+    assert test_ds.num_views == 1
+    np.testing.assert_allclose(test_ds.poses[0], full.poses[holdout])
+    for pose in train_ds.poses:
+        assert not np.allclose(pose, full.poses[holdout])

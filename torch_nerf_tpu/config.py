@@ -44,6 +44,11 @@ class DataConfig:
     data_type: str = "train"
     half_res: bool = True
     white_bg: bool = True
+    # gaussian_blobs (procedural) only: training resolution and views per
+    # split; val/test render at 2x when half_res (mirroring Blender's
+    # train-at-half / evaluate-at-full contract, reference train.py:68)
+    img_size: int = 64
+    num_views: int = 8
     # LLFF-only knobs
     factor: int = 8
     recenter: bool = True
@@ -218,6 +223,14 @@ def _resolve_dataclass(ftype):
 
 
 def from_dict(data: Dict[str, Any]) -> ExperimentConfig:
+    network = data.get("network")
+    if isinstance(network, dict) and "table_layout" not in network:
+        # run dirs created before the packed layout existed trained
+        # reference-parity (L, T, F) "hash" tables; filling in today's
+        # default would reinterpret their checkpoints (ADVICE.md r1)
+        network = dict(network)
+        network["table_layout"] = "hash"
+        data = {**data, "network": network}
     return _from_dict(ExperimentConfig, data)
 
 

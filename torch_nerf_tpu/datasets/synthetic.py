@@ -121,6 +121,20 @@ def render_ground_truth(
     return pixel_rgb.reshape(h, w, 3)
 
 
+# disjoint camera sets per split: azimuth offset (fraction of the view
+# spacing) and elevation, so val/test views are genuinely novel — the
+# procedural analogue of Blender's transforms_{train,val,test}.json
+_SPLIT_VIEWS = {"train": (0.0, -30.0), "val": (1.0 / 3.0, -26.0), "test": (2.0 / 3.0, -34.0)}
+
+
+def split_poses(num_views: int, split: str, radius: float = 4.0) -> np.ndarray:
+    """(num_views, 4, 4) orbital poses for a named split (disjoint sets)."""
+    offset_frac, phi = _SPLIT_VIEWS[split]
+    spacing = 360.0 / num_views
+    thetas = -180.0 + spacing * (np.arange(num_views) + offset_frac)
+    return np.stack([pose_spherical(t, phi, radius) for t in thetas])
+
+
 def make_dataset(
     num_views: int = 8,
     img_size: int = 64,
@@ -128,18 +142,20 @@ def make_dataset(
     scene: GaussianBlobScene | None = None,
     t_near: float = 2.0,
     t_far: float = 6.0,
+    split: str = "train",
 ) -> Tuple[np.ndarray, np.ndarray, cameras.CameraParams, GaussianBlobScene]:
     """Posed image set of the analytic scene.
 
     Returns ``(images (V, H*W, 3) float32, poses (V, 4, 4), camera, scene)``
-    ready for ``train.make_image_train_step``.
+    ready for ``train.make_image_train_step``. The focal length scales with
+    ``img_size`` so every split/resolution images the same field of view.
     """
     scene = scene or GaussianBlobScene()
     focal = focal if focal is not None else 1.2 * img_size
     camera = cameras.CameraParams(
         focal_x=focal, focal_y=focal, img_width=img_size, img_height=img_size
     )
-    poses = orbit_poses(num_views)
+    poses = split_poses(num_views, split)
     render = jax.jit(
         lambda pose: render_ground_truth(scene, camera, pose, t_near, t_far)
     )

@@ -44,8 +44,10 @@ def main(argv=None) -> None:
     cfg = cfg_mod.load_config(stored)
     cfg_mod.apply_overrides(cfg, args.overrides)
 
-    split = "test" if args.render_test_views else cfg.data.data_type
-    dataset = session.build_dataset(cfg, split=split)
+    # like the reference render CLI, always load the TEST split at FULL
+    # resolution (render.py:44-45 forces data_type="test", half_res=False);
+    # --render-test-views only switches which poses are rendered
+    dataset = session.build_dataset(cfg, split="test")
     settings = session.build_render_settings(cfg, dataset)
     field = session.build_field(cfg)
     optim_cfg = session.build_optim_config(cfg)

@@ -134,6 +134,16 @@ def main(argv=None) -> None:
     val_cfg = cfg.train_params.validation
     log_cfg = cfg.train_params.log
 
+    # validation runs on the val SPLIT at FULL resolution, like the
+    # reference (runners/train.py:64-71 loads data_type="val",
+    # half_res=False) — never on training views at training resolution
+    val_dataset = None
+    if val_cfg.validate_every > 0:
+        try:
+            val_dataset = session.build_dataset(cfg, split="val")
+        except (FileNotFoundError, ValueError) as exc:
+            print(f"validation disabled: no val split ({exc})")
+
     start_step = int(state.step)
     # profiler window: skip the first 10 steps (compile + warmup), then trace
     # --profile-steps steps into <log_dir>/profile (SURVEY.md §5.1)
@@ -170,10 +180,8 @@ def main(argv=None) -> None:
             epoch_done = (step_idx + 1) // steps_per_epoch
             if epoch_done % log_cfg.epoch_btw_ckpt == 0:
                 checkpoints.save_checkpoint(log_dir, state)
-            if epoch_done % val_cfg.validate_every == 0:
-                _validate(
-                    cfg, field, state, camera, dataset, settings, logger, step_idx + 1
-                )
+            if val_dataset is not None and epoch_done % val_cfg.validate_every == 0:
+                _validate(cfg, field, state, val_dataset, settings, logger, step_idx + 1)
             if epoch_done % log_cfg.epoch_btw_vis == 0:
                 _visualize(
                     cfg, field, state, camera, dataset, settings, log_dir, epoch_done
@@ -184,10 +192,10 @@ def main(argv=None) -> None:
     print(f"Training complete at step {int(state.step)}. Logs in {log_dir}.")
 
 
-def _validate(cfg, field, state, camera, dataset, settings, logger, step) -> None:
-    """Full-image validation: PSNR/SSIM (+LPIPS when pretrained weights are
-    locally available) and pred|gt image logging (``runners/train.py:227-366,
-    441-461``)."""
+def _validate(cfg, field, state, dataset, settings, logger, step) -> None:
+    """Full-image validation on the val split at full resolution: PSNR/SSIM
+    (+LPIPS when pretrained weights are locally available) and pred|gt image
+    logging (``runners/train.py:227-366, 441-461``)."""
     num_batch = min(cfg.train_params.validation.num_batch, dataset.num_views)
     use_lpips = metrics_mod.lpips_available()
     psnrs, ssims, lpipss = [], [], []
@@ -196,7 +204,7 @@ def _validate(cfg, field, state, camera, dataset, settings, logger, step) -> Non
             field,
             state.params["coarse"],
             state.params.get("fine"),
-            camera,
+            dataset.camera,
             jnp.asarray(dataset.poses[view]),
             jax.random.PRNGKey(view),
             settings,

@@ -17,25 +17,34 @@ import numpy as np
 from torch_nerf_tpu import config as cfg_mod
 from torch_nerf_tpu.datasets import synthetic
 from torch_nerf_tpu.datasets.blender import PosedImages, load_blender
-from torch_nerf_tpu.datasets.llff import llff_t_bounds, load_llff
+from torch_nerf_tpu.datasets.llff import llff_holdout_index, llff_t_bounds, load_llff
 from torch_nerf_tpu.fields import Field, make_nerf_field
 from torch_nerf_tpu.renderer import RenderSettings
 from torch_nerf_tpu.train import OptimConfig
 
 
 def build_dataset(cfg: cfg_mod.ExperimentConfig, split: str = "train") -> PosedImages:
-    """Load the dataset named by the config (``runner_utils.py:470-502``)."""
+    """Load the dataset named by the config (``runner_utils.py:470-502``).
+
+    Evaluation protocol (matches the reference): the "val" and "test"
+    splits are always served at FULL resolution regardless of
+    ``data.half_res`` (``runners/train.py:67-68`` loads the val split with
+    ``half_res=False``; ``runners/render.py:44-45`` does the same for the
+    test split). For LLFF — which ships no split files — the view closest
+    to the average pose is held out (``load_llff.py:561-565``): "train"
+    excludes it, "val"/"test" contain exactly it.
+    """
     data = cfg.data
     if data.dataset_type == "nerf_synthetic":
         return load_blender(
             data.data_root,
             data.scene_name,
             split=split,
-            half_res=data.half_res,
+            half_res=data.half_res if split == "train" else False,
             white_bg=data.white_bg,
         )
     if data.dataset_type == "nerf_llff":
-        return load_llff(
+        full = load_llff(
             data.data_root,
             data.scene_name,
             factor=data.factor,
@@ -43,18 +52,32 @@ def build_dataset(cfg: cfg_mod.ExperimentConfig, split: str = "train") -> PosedI
             bd_factor=data.bd_factor,
             spherify=data.spherify,
         )
+        holdout = llff_holdout_index(full.poses)
+        keep = (
+            [i for i in range(full.num_views) if i != holdout]
+            if split == "train"
+            else [holdout]
+        )
+        return dataclasses.replace(
+            full,
+            images=full.images[keep],
+            poses=full.poses[keep],
+            image_names=[full.image_names[i] for i in keep],
+        )
     if data.dataset_type == "gaussian_blobs":
+        size = data.img_size
+        if split != "train" and data.half_res:
+            size *= 2  # evaluate at full resolution (train.py:68)
         images, poses, camera, _ = synthetic.make_dataset(
-            num_views=8, img_size=64
+            num_views=data.num_views, img_size=size, split=split
         )
         v = images.shape[0]
-        size = camera.img_height
         return PosedImages(
             images=images.reshape(v, size, size, 3),
             poses=poses,
             camera=camera,
             render_poses=synthetic.orbit_poses(40),
-            image_names=[f"blob_{i:03d}" for i in range(v)],
+            image_names=[f"blob_{split}_{i:03d}" for i in range(v)],
         )
     raise ValueError(f"Unsupported dataset_type '{data.dataset_type}'.")
 
@@ -126,6 +149,13 @@ def build_optim_config(cfg: cfg_mod.ExperimentConfig) -> OptimConfig:
         raise ValueError(
             f"Unsupported optimizer/scheduler '{o.optim_type}'/'{o.scheduler_type}'."
         )
+    # the objective/scene groups mirror the reference's Hydra tree; only one
+    # value of each exists (configs/objective/nerf.yaml, configs/scene/
+    # cube.yaml) — reject anything else instead of silently ignoring it
+    if cfg.objective.loss_type != "nerf_default":
+        raise ValueError(f"Unsupported loss_type '{cfg.objective.loss_type}'.")
+    if cfg.scene.type != "cube":
+        raise ValueError(f"Unsupported scene type '{cfg.scene.type}'.")
     return OptimConfig(
         num_iter=o.num_iter, init_lr=o.init_lr, end_lr=o.end_lr, eps=o.eps
     )
