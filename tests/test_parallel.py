@@ -172,3 +172,34 @@ def test_sharded_render_matches_single_device():
     img1 = render1(state.params["coarse"], state.params["fine"], pose, key)
     assert img8.shape == (12, 16, 3)
     np.testing.assert_allclose(np.asarray(img8), np.asarray(img1), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_dp_sharded_step_matches_single_device():
+    """The shard_map fused-kernel DP path (interpret mode) must reproduce the
+    single-device fused step: RNG is drawn globally outside the shard region,
+    so numerics match up to pmean reduction order."""
+    fused_field = make_nerf_field(
+        coord_encode_level=2,
+        dir_encode_level=1,
+        feat_dim=32,
+        use_pallas=True,
+        pallas_interpret=True,
+    )
+    state = train.create_train_state(jax.random.PRNGKey(0), fused_field, SETTINGS, OPTIM)
+    o, d, gt = _ray_batch(64)
+    key = jax.random.PRNGKey(1)
+
+    plain_step = train.make_ray_train_step(fused_field, SETTINGS, OPTIM)
+    ref_state, ref_metrics = plain_step(state, o, d, gt, key)
+
+    mesh = make_mesh(("data",))
+    build, place_state = make_sharded_train_step(fused_field, SETTINGS, OPTIM, mesh)
+    sharded_state = place_state(state)
+    step = build(sharded_state)
+    new_state, metrics = step(sharded_state, o, d, gt, key)
+
+    np.testing.assert_allclose(metrics["loss"], ref_metrics["loss"], rtol=1e-5)
+    for a, b in zip(
+        jax.tree.leaves(new_state.params), jax.tree.leaves(ref_state.params)
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)

@@ -34,6 +34,10 @@ class Field:
     init: FieldInitFn
     apply: FieldApplyFn
     name: str = "field"
+    # set when the field's loss pipeline can run through the fully-fused
+    # Pallas train kernel (ops.pallas.fused_train): the FusedNeRFConfig of
+    # the underlying kernel. None -> generic autodiff training path.
+    fused_cfg: Any = None
 
 
 def make_nerf_field(
@@ -86,7 +90,7 @@ def make_nerf_field(
             )
             return sigma.reshape(batch_shape), rgb.reshape(*batch_shape, 3)
 
-        return Field(init=init, apply=apply, name="nerf_pallas")
+        return Field(init=init, apply=apply, name="nerf_pallas", fused_cfg=cfg)
 
     def apply(params, pts: jnp.ndarray, dirs: jnp.ndarray):
         pos_enc = encoders.positional_encoding(pts, coord_encode_level, include_input)

@@ -274,27 +274,26 @@ def _fwd_kernel(cfg: FusedNeRFConfig, pts_ref, dirs_ref, *rest):
 # backward
 
 
-def _bwd_kernel(cfg: FusedNeRFConfig, pts_ref, dirs_ref, *rest):
-    num_w = 2 * len(LAYER_NAMES)
-    pos_tables = tuple(r[:] for r in rest[:4])
-    dir_tables = tuple(r[:] for r in rest[4:8])
-    rest = rest[8:]
-    weight_refs = rest[:num_w]
-    g_sigma_ref, g_rgb_ref = rest[num_w : num_w + 2]
-    grad_refs = rest[num_w + 2 : num_w + 2 + num_w]
-    dpts_ref, ddirs_ref = rest[num_w + 2 + num_w :]
+def _backward_tile(
+    w,
+    acts,
+    g_sigma,
+    g_rgb,
+    pos_tables,
+    dir_tables,
+    cfg: FusedNeRFConfig,
+    want_input_grads: bool = True,
+):
+    """Backward math on one tile given forward activations and cotangents.
 
+    Returns ``(grads, dpts, ddirs)`` where ``grads[name] = (dW f32, db f32)``
+    in kernel layout; ``dpts``/``ddirs`` are ``None`` when
+    ``want_input_grads=False`` (loss-fused training, where sample positions
+    are data and carry no parameter gradient — skipping them saves the
+    encode-VJP matmuls).
+    """
     dt = cfg.compute_dtype
     fd = cfg.feat_dim
-    w = _weight_refs_to_tree(weight_refs)
-    pts = pts_ref[:].astype(jnp.float32)
-    dirs = dirs_ref[:].astype(jnp.float32)
-
-    acts = _forward_tile(pts, dirs, w, pos_tables, dir_tables, cfg)  # rematerialize
-
-    g_sigma = g_sigma_ref[:].astype(jnp.float32)  # (T, 1)
-    g_rgb = g_rgb_ref[:].astype(jnp.float32)  # (T, 3)
-
     grads = {}
 
     rgb = acts["rgb"]
@@ -353,8 +352,35 @@ def _bwd_kernel(cfg: FusedNeRFConfig, pts_ref, dirs_ref, *rest):
         dh = _mm_nt(dz, w[name]["w"], dt)
     dpe = dpe + dh.astype(jnp.float32)
 
-    dpts = _encode_fast_bwd(acts["pe_spread"], dpe, pos_tables)
-    ddirs = _encode_fast_bwd(acts["de_spread"], dde, dir_tables)
+    if want_input_grads:
+        dpts = _encode_fast_bwd(acts["pe_spread"], dpe, pos_tables)
+        ddirs = _encode_fast_bwd(acts["de_spread"], dde, dir_tables)
+        return grads, dpts, ddirs
+    return grads, None, None
+
+
+def _bwd_kernel(cfg: FusedNeRFConfig, pts_ref, dirs_ref, *rest):
+    num_w = 2 * len(LAYER_NAMES)
+    pos_tables = tuple(r[:] for r in rest[:4])
+    dir_tables = tuple(r[:] for r in rest[4:8])
+    rest = rest[8:]
+    weight_refs = rest[:num_w]
+    g_sigma_ref, g_rgb_ref = rest[num_w : num_w + 2]
+    grad_refs = rest[num_w + 2 : num_w + 2 + num_w]
+    dpts_ref, ddirs_ref = rest[num_w + 2 + num_w :]
+
+    w = _weight_refs_to_tree(weight_refs)
+    pts = pts_ref[:].astype(jnp.float32)
+    dirs = dirs_ref[:].astype(jnp.float32)
+
+    acts = _forward_tile(pts, dirs, w, pos_tables, dir_tables, cfg)  # rematerialize
+
+    g_sigma = g_sigma_ref[:].astype(jnp.float32)  # (T, 1)
+    g_rgb = g_rgb_ref[:].astype(jnp.float32)  # (T, 3)
+
+    grads, dpts, ddirs = _backward_tile(
+        w, acts, g_sigma, g_rgb, pos_tables, dir_tables, cfg
+    )
 
     is_first = pl.program_id(0) == 0
     for i, name in enumerate(LAYER_NAMES):

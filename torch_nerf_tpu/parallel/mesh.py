@@ -23,6 +23,9 @@ from torch_nerf_tpu.renderer import RenderSettings
 from torch_nerf_tpu.train import (
     OptimConfig,
     TrainState,
+    draw_train_randomness,
+    fused_loss_and_grad,
+    make_optimizer,
     make_ray_train_step,
     precrop_pixel_indices,
     sample_pixels_without_replacement,
@@ -144,6 +147,66 @@ def replicate_state(
     )
 
 
+def _make_fused_dp_ray_step(
+    field: Field,
+    settings: RenderSettings,
+    optim_cfg: OptimConfig,
+    mesh: Mesh,
+    data_axis: str,
+):
+    """Data-parallel ray train step through the fully-fused Pallas kernel.
+
+    ``pallas_call`` is opaque to the GSPMD partitioner, so the fused loss
+    core runs under ``shard_map``: rays, targets, and the pre-drawn uniform
+    batch split over ``data_axis``; each chip runs the kernel on its shard
+    and ``pmean``s grads/metrics over ICI. All RNG happens OUTSIDE the shard
+    region on the replicated key (``draw_train_randomness``), so every ray
+    sees exactly the same samples as in the single-device step and the
+    sharded numerics match bit-for-bit up to reduction order.
+    """
+    from jax import shard_map  # noqa: PLC0415
+
+    optimizer = make_optimizer(optim_cfg)
+    num_shards = int(mesh.shape[data_axis])
+
+    def local_loss(params, ray_o, ray_d, rgb_gt, rand):
+        metrics, grads = fused_loss_and_grad(
+            field, params, ray_o, ray_d, rgb_gt, rand, settings
+        )
+        # per-shard means of equal-size shards -> pmean is the global mean
+        metrics = jax.lax.pmean(metrics, data_axis)
+        grads = jax.lax.pmean(grads, data_axis)
+        return metrics, grads
+
+    def step_fn(state: TrainState, ray_origin, ray_dir, rgb_gt, key):
+        num_rays = ray_origin.shape[0]
+        if num_rays % num_shards != 0:
+            raise ValueError(
+                f"ray batch {num_rays} must divide over {num_shards} '{data_axis}' shards"
+            )
+        rand = draw_train_randomness(key, num_rays, settings)
+        sharded = P(data_axis)
+        # check_vma=False: pallas_call out_shapes don't carry vma metadata yet
+        loss_core = shard_map(
+            local_loss,
+            mesh=mesh,
+            in_specs=(P(), sharded, sharded, sharded, sharded),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        metrics, grads = loss_core(state.params, ray_origin, ray_dir, rgb_gt, rand)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        import optax  # noqa: PLC0415
+
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=new_params, opt_state=new_opt_state),
+            metrics,
+        )
+
+    return step_fn
+
+
 def make_sharded_train_step(
     field: Field,
     settings: RenderSettings,
@@ -158,9 +221,18 @@ def make_sharded_train_step(
     ``model_axis``). Returns ``(step_fn, place_state)`` where ``place_state``
     maps a host ``TrainState`` onto the mesh. Gradient reduction across data
     shards is inserted by XLA from the sharding annotations (the psum rides
-    ICI within a slice).
+    ICI within a slice). Fields with a fused Pallas train kernel go through
+    the ``shard_map`` DP core (:func:`_make_fused_dp_ray_step`) unless TP is
+    requested (TP shards the weights, which the VMEM-resident kernel needs
+    whole — those runs use the autodiff path).
     """
-    ray_step = make_ray_train_step(field, settings, optim_cfg)
+    if field.fused_cfg is not None and model_axis is None:
+        ray_step = _make_fused_dp_ray_step(field, settings, optim_cfg, mesh, data_axis)
+    else:
+        # GSPMD cannot partition a pallas_call, so TP (and any non-fused
+        # field) goes through the pure-jnp autodiff step the partitioner
+        # understands end to end.
+        ray_step = make_ray_train_step(field, settings, optim_cfg, force_generic=True)
 
     ray_sharding = NamedSharding(mesh, P(data_axis))
     key_sharding = NamedSharding(mesh, P())
@@ -260,7 +332,10 @@ def make_sharded_image_train_step(
     the built step has signature ``step(state, images (B, H*W, 3),
     poses (B, 4, 4), key)``.
     """
-    ray_step = make_ray_train_step(field, settings, optim_cfg)
+    if field.fused_cfg is not None and model_axis is None:
+        ray_step = _make_fused_dp_ray_step(field, settings, optim_cfg, mesh, data_axis)
+    else:
+        ray_step = make_ray_train_step(field, settings, optim_cfg, force_generic=True)
     num_total = camera.img_height * camera.img_width
     crop = precrop_pixel_indices(camera.img_height, camera.img_width) if precrop else None
     if crop is not None:

@@ -112,27 +112,129 @@ def ray_loss_fn(
     return loss, metrics
 
 
+def draw_train_randomness(
+    key: jax.Array, num_rays: int, settings: RenderSettings
+) -> Dict[str, jnp.ndarray]:
+    """All uniform draws one train step consumes, keyed exactly like
+    ``render_rays`` (same split tree, same shapes), as (num_rays, .) arrays.
+
+    Drawing them up front makes the rest of the step pure per-ray data flow:
+    the sharded trainer draws the global batch replicated and splits the rows
+    over the mesh with the rays, so sharded numerics match single-device.
+    """
+    coarse_key, fine_key = jax.random.split(key)
+    rand = {
+        "coarse_jitter": jax.random.uniform(
+            coarse_key, (num_rays, settings.num_samples_coarse), jnp.float32
+        )
+    }
+    if settings.hierarchical:
+        ck2, fk2 = jax.random.split(fine_key)
+        u_key, jitter_key = jax.random.split(fk2)
+        rand["fine_coarse_jitter"] = jax.random.uniform(
+            ck2, (num_rays, settings.num_samples_coarse), jnp.float32
+        )
+        rand["fine_u"] = jax.random.uniform(
+            u_key, (num_rays, settings.num_samples_fine), jnp.float32
+        )
+        rand["fine_jitter"] = jax.random.uniform(
+            jitter_key, (num_rays, settings.num_samples_fine), jnp.float32
+        )
+    return rand
+
+
+def fused_loss_and_grad(
+    field: Field,
+    params: Dict[str, Any],
+    ray_origin: jnp.ndarray,
+    ray_dir: jnp.ndarray,
+    rgb_gt: jnp.ndarray,
+    rand: Dict[str, jnp.ndarray],
+    settings: RenderSettings,
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, Any]]:
+    """Loss metrics + gradients through the fully-fused Pallas train kernel.
+
+    Mathematically identical to ``jax.grad`` of ``ray_loss_fn`` (same
+    sampling given ``rand = draw_train_randomness(key, ...)``, same
+    coarse+fine MSE of ``runners/train.py:170-216``), but each render pass
+    runs encode -> MLP -> composite -> MSE -> backward in ONE kernel
+    (``ops.pallas.fused_train``) — activations never leave VMEM, so the
+    backward does not rematerialize the forward and the compositing/loss
+    glue costs no HBM round-trips. Contains no RNG and no cross-ray
+    coupling beyond the final means, so it is safe inside ``shard_map``
+    (grads/metrics are per-shard means; callers ``pmean`` them).
+    """
+    from torch_nerf_tpu.ops import sampling  # noqa: PLC0415
+    from torch_nerf_tpu.ops.pallas.fused_train import fused_train_pass  # noqa: PLC0415
+
+    num_rays = ray_origin.shape[0]
+    bins, bin_size = sampling.t_bins(
+        settings.t_near, settings.t_far, settings.num_samples_coarse
+    )
+
+    def pass_inputs(t_samples):
+        # sample positions o + t*d are computed inside the kernel; only the
+        # depth/interval columns cross HBM
+        return ray_origin, ray_dir, t_samples, sampling.t_deltas(t_samples)
+
+    t_coarse = bins[None, :] + bin_size * rand["coarse_jitter"]
+    rgb_c, weights_c, grads_c = fused_train_pass(
+        params["coarse"], *pass_inputs(t_coarse), rgb_gt, field.fused_cfg, num_rays
+    )
+    coarse_loss = jnp.mean((rgb_c - rgb_gt) ** 2)
+    metrics = {"coarse_loss": coarse_loss, "loss": coarse_loss}
+    grads: Dict[str, Any] = {"coarse": grads_c}
+
+    if settings.hierarchical:
+        t_fine = sampling.hierarchical_t_samples_from_uniforms(
+            weights_c,
+            settings.t_near,
+            settings.t_far,
+            rand["fine_coarse_jitter"],
+            rand["fine_u"],
+            rand["fine_jitter"],
+        )
+        rgb_f, _, grads_f = fused_train_pass(
+            params["fine"], *pass_inputs(t_fine), rgb_gt, field.fused_cfg, num_rays
+        )
+        fine_loss = jnp.mean((rgb_f - rgb_gt) ** 2)
+        metrics["fine_loss"] = fine_loss
+        metrics["loss"] = coarse_loss + fine_loss
+        grads["fine"] = grads_f
+
+    return metrics, grads
+
+
 def make_ray_train_step(
     field: Field,
     settings: RenderSettings,
     optim_cfg: OptimConfig,
+    force_generic: bool = False,
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jnp.ndarray, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Train step over a pre-assembled ray batch (the shardable core).
 
     ``step(state, ray_origin (N,3), ray_dir (N,3), rgb_gt (N,3), key)``.
     This is the function the data-parallel path shards over the ``rays``
-    mesh axis; gradients are averaged by XLA-inserted collectives.
+    mesh axis; gradients are averaged by XLA-inserted collectives. Fields
+    carrying a ``fused_cfg`` train through the fully-fused Pallas kernel
+    (``fused_loss_and_grad``); everything else goes through autodiff.
     """
     optimizer = make_optimizer(optim_cfg)
+    use_fused = field.fused_cfg is not None and not force_generic
 
     def step_fn(state: TrainState, ray_origin, ray_dir, rgb_gt, key):
-        def loss_wrapper(params):
-            return ray_loss_fn(field, params, ray_origin, ray_dir, rgb_gt, key, settings)
+        if use_fused:
+            rand = draw_train_randomness(key, ray_origin.shape[0], settings)
+            metrics, grads = fused_loss_and_grad(
+                field, state.params, ray_origin, ray_dir, rgb_gt, rand, settings
+            )
+        else:
+            def loss_wrapper(params):
+                return ray_loss_fn(field, params, ray_origin, ray_dir, rgb_gt, key, settings)
 
-        (loss, metrics), grads = jax.value_and_grad(loss_wrapper, has_aux=True)(state.params)
+            (_, metrics), grads = jax.value_and_grad(loss_wrapper, has_aux=True)(state.params)
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        del loss
         return (
             TrainState(step=state.step + 1, params=new_params, opt_state=new_opt_state),
             metrics,
