@@ -212,21 +212,29 @@ def hash_encode_packed128(
 
     # tile: multiple of 1024 — XLA lays out rank-1 s32 arrays with tiling
     # T(1024), and Mosaic rejects SMEM blocks that don't align with it
-    # (small batches crashed the round-1 kernel this way, ADVICE.md)
-    tile = min(8192, -(-n // 1024) * 1024)
-    max_chunk = tile * max(1, ((1 << 21) // num_level) // tile)
+    # (small batches crashed the round-1 kernel this way, ADVICE.md). The
+    # per-step SMEM index block is (L*tile,) and the backward's update-row
+    # scratch is (L*tile, 128) f32, so the tile shrinks as L grows. Chunking
+    # only guards truly huge batches: per-chunk HBM side arrays are just the
+    # (L, chunk) int32 index streams (weights are built in-kernel), so the
+    # full 1M-point production step runs as ONE pallas call.
+    tile = min(4096, max(1024, (1 << 15) // num_level), -(-n // 1024) * 1024)
+    max_chunk = tile * max(1, (1 << 21) // tile)
     chunk = min(max_chunk, -(-n // tile) * tile)
     padded_n = -(-n // chunk) * chunk
     # zero-padding is safe: integral scaled coords give all-zero weights
     coords_p = jnp.pad(coords, ((0, padded_n - n), (0, 0)))
     cfg = FoldCfg(
-        feat_dim=feat_dim, num_rows=num_rows, use_kernel=use_kernel,
-        interpret=interpret, tile=tile,
-        # measured on v5e at the 1M-point operating point: holding the
-        # (L, N, 128) weight lines across fwd->bwd (save_prep=True) costs
-        # more HBM time than the fused elementwise recompute (80.6 vs
-        # 73.7 ms/step at L=4) — always recompute.
-        save_prep=False,
+        feat_dim=feat_dim,
+        num_rows=num_rows,
+        num_level=num_level,
+        use_kernel=use_kernel,
+        interpret=interpret,
+        tile=tile,
+        group=min(4, num_level),
+        # bf16 lane-placement matmuls only on the real-TPU path; interpreter
+        # runs (tests) keep f32 so parity against packed_prep math is exact
+        place_bf16=not interpret,
     )
 
     if padded_n == chunk:
