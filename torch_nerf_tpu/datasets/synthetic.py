@@ -109,16 +109,30 @@ def render_ground_truth(
     learned model — the 'golden' image generator for tests.
     """
     h, w = camera.img_height, camera.img_width
-    pixel_idx = jnp.arange(h * w, dtype=jnp.int32)
+    num_pixels = h * w
+    chunk = 8192  # bound the (rays, S, 3) sample tensor: full-res frames
+    # would otherwise materialize multi-GB intermediates (800^2 x 256 x 3)
+    num_chunks = -(-num_pixels // chunk)
+    pixel_idx = jnp.minimum(
+        jnp.arange(num_chunks * chunk, dtype=jnp.int32), num_pixels - 1
+    )
     o, d = cameras.rays_for_pixels(pixel_idx, camera, extrinsic)
 
     mids = (jnp.arange(num_samples, dtype=jnp.float32) + 0.5) / num_samples
     ts = t_near + (t_far - t_near) * mids  # (S,)
-    pts = o[:, None, :] + ts[None, :, None] * d[:, None, :]
-    sigma, rgb = scene.field(pts)
-    delta = jnp.full_like(sigma, (t_far - t_near) / num_samples)
-    pixel_rgb, _ = integration.composite(sigma, rgb, delta)
-    return pixel_rgb.reshape(h, w, 3)
+
+    def render_chunk(args):
+        oc, dc = args
+        pts = oc[:, None, :] + ts[None, :, None] * dc[:, None, :]
+        sigma, rgb = scene.field(pts)
+        delta = jnp.full_like(sigma, (t_far - t_near) / num_samples)
+        pixel_rgb, _ = integration.composite(sigma, rgb, delta)
+        return pixel_rgb
+
+    rgb = jax.lax.map(
+        render_chunk, (o.reshape(num_chunks, chunk, 3), d.reshape(num_chunks, chunk, 3))
+    )
+    return rgb.reshape(-1, 3)[:num_pixels].reshape(h, w, 3)
 
 
 # disjoint camera sets per split: azimuth offset (fraction of the view

@@ -59,26 +59,81 @@ class MetricsLogger:
             self._tb.close()
 
 
-class StepTimer:
-    """Windowed steps/sec + rays/sec tracker."""
+def device_peak_flops() -> Optional[float]:
+    """bf16 peak FLOP/s of one local accelerator chip, if known."""
+    try:
+        import jax  # noqa: PLC0415
 
-    def __init__(self, rays_per_step: int, window: int = 50):
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return None
+    table = {
+        "tpu v5 lite": 197e12,  # v5e
+        "tpu v5e": 197e12,
+        "tpu v5": 459e12,  # v5p
+        "tpu v4": 275e12,
+        "tpu v6": 918e12,  # trillium
+    }
+    for name, peak in table.items():
+        if kind.startswith(name):
+            return peak
+    return None
+
+
+class StepTimer:
+    """Windowed steps/sec + rays/sec (+ MFU) tracker.
+
+    Only the WINDOW-BOUNDARY stamps feed the rate computation, and those are
+    taken after blocking on the step's output (``sync``): JAX dispatch is
+    asynchronous, so unsynced wall-clock measures the Python enqueue rate,
+    not the device (bench.py chains through a blocked result for the same
+    reason). The block happens once per window — one pipeline drain per 50
+    steps, negligible.
+
+    ``flops_per_step`` (optional) adds achieved TFLOP/s and MFU (fraction of
+    the chip's bf16 peak) next to rays/s — SURVEY.md §5.1's first-class perf
+    metrics.
+    """
+
+    def __init__(
+        self,
+        rays_per_step: int,
+        window: int = 50,
+        flops_per_step: Optional[float] = None,
+    ):
         self.rays_per_step = rays_per_step
         self.window = window
-        self._stamps = []
+        self.flops_per_step = flops_per_step
+        self._peak = device_peak_flops()
+        self._count = 0
+        self._last_boundary: Optional[float] = None
 
-    def tick(self) -> Optional[Dict[str, float]]:
-        now = time.perf_counter()
-        self._stamps.append(now)
-        if len(self._stamps) <= self.window:
+    def tick(self, sync=None) -> Optional[Dict[str, float]]:
+        self._count += 1
+        if self._count % self.window != 0:
             return None
-        elapsed = now - self._stamps[-self.window - 1]
-        self._stamps = self._stamps[-self.window - 1 :]
-        steps_per_sec = self.window / elapsed
-        return {
+        if sync is not None:
+            try:
+                import jax  # noqa: PLC0415
+
+                jax.block_until_ready(sync)
+            except Exception:
+                pass
+        now = time.perf_counter()
+        prev, self._last_boundary = self._last_boundary, now
+        if prev is None:
+            return None
+        steps_per_sec = self.window / (now - prev)
+        out = {
             "perf/steps_per_sec": steps_per_sec,
             "perf/rays_per_sec": steps_per_sec * self.rays_per_step,
         }
+        if self.flops_per_step:
+            flops_per_sec = steps_per_sec * self.flops_per_step
+            out["perf/tflops"] = flops_per_sec / 1e12
+            if self._peak:
+                out["perf/mfu"] = flops_per_sec / self._peak
+        return out
 
 
 def save_png(path: str | Path, image: np.ndarray) -> None:

@@ -95,62 +95,40 @@ def ssim(
 
 
 # ---------------------------------------------------------------------------
-# LPIPS (optional — needs locally-cached pretrained AlexNet)
+# LPIPS (calibrated; needs locally-provided pretrained weights — lpips.py)
 
-_LPIPS_MODEL = None
+_LPIPS_WEIGHTS = None
+_LPIPS_PROBED = False
 
 
 def lpips_available() -> bool:
-    try:
-        import torchvision  # noqa: F401,PLC0415
+    """True when calibrated LPIPS-alex weights were found on this machine.
 
-        from torchvision.models import alexnet  # noqa: PLC0415
+    Weight search order is documented in :mod:`torch_nerf_tpu.lpips` (the
+    ``$LPIPS_WEIGHTS`` env var, then the torch-hub checkpoint cache). There
+    is deliberately no uncalibrated fallback: numbers are either comparable
+    to the reference's torchmetrics LPIPS or not reported at all.
+    """
+    global _LPIPS_WEIGHTS, _LPIPS_PROBED
+    if not _LPIPS_PROBED:
+        from torch_nerf_tpu.lpips import load_weights  # noqa: PLC0415
 
-        alexnet(weights="DEFAULT")
-        return True
-    except Exception:
-        return False
+        _LPIPS_WEIGHTS = load_weights()
+        _LPIPS_PROBED = True
+    return _LPIPS_WEIGHTS is not None
 
 
 def lpips(pred: np.ndarray, target: np.ndarray) -> Optional[float]:
-    """LPIPS(alex) if pretrained weights are locally available, else None.
+    """Calibrated LPIPS(alex) distance, or None when no weights are present.
 
-    Uses unit-normalized AlexNet feature L2 distances (the LPIPS formulation
-    with uniform linear weights, since the calibrated ``lin`` weights cannot
-    be downloaded in this environment). Values correlate with, but are not
-    identical to, the calibrated LPIPS numbers.
+    Same math and weights as the reference's torchmetrics wrapper
+    (``rgb_metrics.py:19-43``) — see :func:`torch_nerf_tpu.lpips.lpips_alex`.
     """
     if not lpips_available():
         return None
-    import torch  # noqa: PLC0415
-    from torchvision.models import alexnet  # noqa: PLC0415
+    from torch_nerf_tpu.lpips import lpips_alex  # noqa: PLC0415
 
-    global _LPIPS_MODEL
-    if _LPIPS_MODEL is None:
-        _LPIPS_MODEL = alexnet(weights="DEFAULT").features.eval()
-
-    def prep(img):
-        t = torch.from_numpy(np.asarray(img, dtype=np.float32)).permute(2, 0, 1)[None]
-        mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
-        std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
-        return (t - mean) / std
-
-    feats = {}
-    taps = {1: None, 4: None, 7: None, 9: None, 11: None}
-    with torch.no_grad():
-        for name, img in (("a", pred), ("b", target)):
-            x = prep(img)
-            acc = []
-            for i, layer in enumerate(_LPIPS_MODEL):
-                x = layer(x)
-                if i in taps:
-                    f = x / (x.norm(dim=1, keepdim=True) + 1e-10)
-                    acc.append(f)
-            feats[name] = acc
-    dist = 0.0
-    for fa, fb in zip(feats["a"], feats["b"]):
-        dist += float(((fa - fb) ** 2).sum(dim=1).mean())
-    return dist
+    return lpips_alex(pred, target, _LPIPS_WEIGHTS)
 
 
 # ---------------------------------------------------------------------------

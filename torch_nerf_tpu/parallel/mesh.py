@@ -262,31 +262,39 @@ def make_sharded_render(
     mesh: Mesh,
     camera: cameras.CameraParams,
     data_axis: str = "data",
+    chunk_size: int = 4096,
 ):
     """Data-parallel full-image render: each chip renders its ray shard.
 
     The eval-side counterpart of the sharded train step (SURVEY.md §5.8:
-    "each chip renders its ray shard; all_gather reassembles frames"): all
-    H*W pixel rays are generated in-jit, split over ``data_axis`` with a
-    sharding constraint, rendered in one pass (the fused field kernel
-    streams tiles, so per-chip memory is bounded by its shard), and the
-    replicated output sharding makes XLA insert the final all-gather.
+    "each chip renders its ray shard; all_gather reassembles frames"):
+    pixel rays are generated in-jit and rendered in fixed-size chunks via
+    ``lax.map`` (bounding per-chip live memory for EVERY field, not just the
+    tile-streaming fused kernel — an unchunked 800^2 x 256-sample frame
+    materializes multi-GB intermediates on the XLA/NGP paths, ADVICE.md),
+    with each chunk's rays split over ``data_axis`` by a sharding
+    constraint. Per-chunk RNG keys are folded from each chunk's first pixel
+    index, exactly like ``renderer.render_image`` — so renders are
+    bit-identical across device counts and to the single-device path
+    whenever the chunk grids match.
 
-    Returns ``render(params_coarse, params_fine, key) -> (H, W, 3)``.
+    Returns ``render(params_coarse, params_fine, extrinsic, key) -> (H, W, 3)``.
     """
     from torch_nerf_tpu.renderer import render_rays  # noqa: PLC0415
 
     h, w = camera.img_height, camera.img_width
     num_pixels = h * w
     num_devices = int(mesh.shape[data_axis])
-    padded = -(-num_pixels // num_devices) * num_devices
+    if chunk_size % num_devices != 0:
+        chunk_size = -(-chunk_size // num_devices) * num_devices
+    num_chunks = -(-num_pixels // chunk_size)
 
     ray_sharding = NamedSharding(mesh, P(data_axis))
     replicated = NamedSharding(mesh, P())
 
     def render_fn(params_coarse, params_fine, extrinsic, key):
         pixel_idx = jnp.minimum(
-            jnp.arange(padded, dtype=jnp.int32), num_pixels - 1
+            jnp.arange(num_chunks * chunk_size, dtype=jnp.int32), num_pixels - 1
         )
         ray_o, ray_d = cameras.rays_for_pixels(
             pixel_idx,
@@ -295,11 +303,26 @@ def make_sharded_render(
             use_ndc=settings.project_to_ndc,
             ndc_z_near=settings.ndc_z_near,
         )
-        ray_o = jax.lax.with_sharding_constraint(ray_o, ray_sharding)
-        ray_d = jax.lax.with_sharding_constraint(ray_d, ray_sharding)
-        out = render_rays(field, params_coarse, params_fine, ray_o, ray_d, key, settings)
-        rgb = out["rgb_fine"] if settings.hierarchical else out["rgb_coarse"]
-        return rgb[:num_pixels].reshape(h, w, 3)
+        keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(
+            jnp.arange(num_chunks, dtype=jnp.int32) * chunk_size
+        )
+
+        def render_chunk(args):
+            o, d, k = args
+            o = jax.lax.with_sharding_constraint(o, ray_sharding)
+            d = jax.lax.with_sharding_constraint(d, ray_sharding)
+            out = render_rays(field, params_coarse, params_fine, o, d, k, settings)
+            return out["rgb_fine"] if settings.hierarchical else out["rgb_coarse"]
+
+        rgb = jax.lax.map(
+            render_chunk,
+            (
+                ray_o.reshape(num_chunks, chunk_size, 3),
+                ray_d.reshape(num_chunks, chunk_size, 3),
+                keys,
+            ),
+        )
+        return rgb.reshape(-1, 3)[:num_pixels].reshape(h, w, 3)
 
     return jax.jit(
         render_fn,

@@ -156,7 +156,13 @@ def render_image(
 
     origins = origins.reshape(num_chunks, chunk_size, 3)
     dirs = dirs.reshape(num_chunks, chunk_size, 3)
-    keys = jax.random.split(key, num_chunks)
+    # per-chunk keys derived from each chunk's FIRST PIXEL (not its position
+    # in a split sequence): any renderer that chunks the same pixel grid —
+    # in particular the data-parallel path on any device count — draws
+    # identical samples and produces bit-identical images
+    keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(
+        jnp.arange(num_chunks, dtype=jnp.int32) * chunk_size
+    )
 
     def render_chunk(args):
         o, d, k = args

@@ -22,7 +22,11 @@ def main(argv=None) -> None:
     if "lpips" in out:
         print(f"LPIPS: {out['lpips']:.4f}")
     else:
-        print("LPIPS: unavailable (no pretrained weights in this environment)")
+        print(
+            "LPIPS: unavailable — no calibrated weights found (set "
+            "$LPIPS_WEIGHTS or place alexnet/lin checkpoints in "
+            "~/.cache/torch/hub/checkpoints/; see torch_nerf_tpu/lpips.py)"
+        )
     print(f"PSNR: {out['psnr']:.4f}")
     print(f"SSIM: {out['ssim']:.4f}")
     print("Done.")

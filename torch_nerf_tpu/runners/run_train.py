@@ -128,7 +128,10 @@ def main(argv=None) -> None:
         )
 
     logger = MetricsLogger(log_dir)
-    timer = StepTimer(rays_per_step=cfg.renderer.num_pixels)
+    timer = StepTimer(
+        rays_per_step=cfg.renderer.num_pixels,
+        flops_per_step=session.estimate_flops_per_step(cfg),
+    )
     key = jax.random.PRNGKey(cfg.seed + 1)
 
     val_cfg = cfg.train_params.validation
@@ -162,9 +165,9 @@ def main(argv=None) -> None:
             jax.profiler.stop_trace()
             print(f"profiler trace written to {log_dir / 'profile'}")
 
+        perf = timer.tick(sync=metrics["loss"])
         if (step_idx + 1) % 100 == 0:
             scalars = {f"train/{k}": float(v) for k, v in metrics.items()}
-            perf = timer.tick()
             if perf:
                 scalars.update(perf)
             logger.log_scalars(step_idx + 1, scalars)
@@ -172,8 +175,8 @@ def main(argv=None) -> None:
                 f"step {step_idx + 1}/{total_steps} "
                 + " ".join(f"{k.split('/')[-1]}={v:.5f}" for k, v in scalars.items())
             )
-        else:
-            timer.tick()
+        elif perf:
+            logger.log_scalars(step_idx + 1, perf)
 
         end_of_epoch = (step_idx + 1) % steps_per_epoch == 0
         if end_of_epoch:

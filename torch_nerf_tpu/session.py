@@ -159,3 +159,38 @@ def build_optim_config(cfg: cfg_mod.ExperimentConfig) -> OptimConfig:
     return OptimConfig(
         num_iter=o.num_iter, init_lr=o.init_lr, end_lr=o.end_lr, eps=o.eps
     )
+
+
+def estimate_flops_per_step(cfg: cfg_mod.ExperimentConfig) -> float:
+    """Approximate train-step FLOPs (fwd + bwd ~= 3x fwd) for MFU logging.
+
+    Counts the MLP matmul MACs per sample point times the per-step point
+    count (rays x (coarse + merged-fine) samples); encodings/compositing are
+    a rounding error next to the trunk. Good to a few percent — intended for
+    the perf/mfu gauge (SURVEY.md §5.1), not accounting.
+    """
+    net = cfg.network
+    enc = cfg.signal_encoder
+    r = cfg.renderer
+
+    if net.type == "nerf":
+        from torch_nerf_tpu.encoders import positional_encoding_dim  # noqa: PLC0415
+        from torch_nerf_tpu.models.nerf import layer_dims  # noqa: PLC0415
+
+        pos_dim = positional_encoding_dim(net.pos_dim, enc.coord_encode_level, enc.include_input)
+        dir_dim = positional_encoding_dim(net.view_dir_dim, enc.dir_encode_level, enc.include_input)
+        macs = sum(i * o for i, o in layer_dims(pos_dim, dir_dim, net.feat_dim).values())
+    else:  # instant_nerf: density (LF->64->16) + color (16+sh -> 64 -> 64 -> 3)
+        lf = net.num_level * net.table_feat_dim
+        sh_dim = (enc.degree + 1) ** 2 if enc.type == "sh" else 27
+        macs = (lf * 64 + 64 * 64 + 64 * 16) + (
+            (16 + sh_dim) * 64 + 64 * 64 + 64 * 3
+        )
+
+    samples = r.num_samples_coarse
+    if r.num_samples_fine > 0:
+        # hierarchical: fine net evaluates coarse+fine merged samples, and
+        # two networks exist (coarse pass + fine pass)
+        samples = r.num_samples_coarse + (r.num_samples_coarse + r.num_samples_fine)
+    points = r.num_pixels * samples
+    return 3.0 * 2.0 * macs * points  # bwd ~= 2x fwd; 2 FLOPs per MAC
