@@ -9,9 +9,12 @@ from __future__ import annotations
 import glob
 import gzip
 import json
+import os
 import sys
 import tempfile
 from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 import jax
 import jax.numpy as jnp
