@@ -71,12 +71,13 @@ def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries):
         )
         gt = np.asarray(val_images[i]).reshape(val_camera.img_height, val_camera.img_width, 3)
         psnrs.append(metrics.psnr(np.asarray(img), gt))
+    grids = 2 if layout == "packed_dual" else 1
     out = {
         "variant": name,
         "layout": layout,
         "num_level": num_level,
         "feat_dim": feat_dim,
-        "params": num_level * (2**log2_entries) * feat_dim,
+        "params": grids * num_level * (2**log2_entries) * feat_dim,
         "steps": steps,
         "train_seconds": round(train_s, 1),
         "final_loss": float(m["loss"]),
@@ -86,8 +87,39 @@ def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries):
     return out
 
 
+# name -> (label, layout, L, F, log2_entries). The _T18 variants give packed
+# 8x the rows (equal COLLISION LOAD to the hash layout, which stores each
+# corner once where packed stores it per adjacent voxel): the packed gather
+# rate is scalar-issue-bound and independent of table size, so extra
+# capacity costs only HBM + one table DMA per level-group call — the
+# TPU-first trade is capacity-for-speed, not capacity-for-params.
+VARIANTS = {
+    "hash_L16F2": ("hash_L16F2 (reference parity)", "hash", 16, 2, 15),
+    "packed_L16F2": ("packed_L16F2", "packed", 16, 2, 15),
+    "packed_L8F4": ("packed_L8F4", "packed", 8, 4, 15),
+    "packed_L4F8": ("packed_L4F8", "packed", 4, 8, 15),
+    "packed_L8F4_T18": ("packed_L8F4_T18 (8x rows)", "packed", 8, 4, 18),
+    "packed_L4F8_T18": ("packed_L4F8_T18 (8x rows)", "packed", 4, 8, 18),
+    # dual = two half-voxel-staggered packed grids per level, concatenated:
+    # restores the cross-voxel coupling whose absence makes packed-only
+    # overfit (see the packed 100k-step rows). 2 gathers/(point, level).
+    "packed_dual_L8F4": ("packed_dual_L8F4", "packed_dual", 8, 4, 15),
+    "packed_dual_L4F8": ("packed_dual_L4F8", "packed_dual", 4, 8, 15),
+    "packed_dual_L4F8_T18": ("packed_dual_L4F8_T18 (8x rows)", "packed_dual", 4, 8, 18),
+}
+
+
 def main():
+    # Positional args select variants, each optionally with its own step
+    # budget ("packed_L8F4:100000") — the packed layout's whole point is a
+    # 30-100x cheaper step, so the fair comparison is equal WALL TIME, not
+    # equal steps. Results merge into NGP_QUALITY.json keyed on
+    # (variant, steps).
     steps = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--steps=")), 3000))
+    picks = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if not picks:
+        picks = list(VARIANTS)
+
     from torch_nerf_tpu.datasets import synthetic
 
     img = 128
@@ -99,19 +131,28 @@ def main():
 
     # scaled-down capacity (2^15/level) keeps runtimes short; the L*F budget
     # and 32-wide encoding match across variants exactly as at full scale
-    variants = [
-        ("hash_L16F2 (reference parity)", "hash", 16, 2),
-        ("packed_L16F2", "packed", 16, 2),
-        ("packed_L8F4", "packed", 8, 4),
-        ("packed_L4F8", "packed", 4, 8),
-    ]
-    results = [run_variant(n, lay, l, f, steps, data, log2_entries=15) for n, lay, l, f in variants]
+    results = []
+    for pick in picks:
+        key, _, per_steps = pick.partition(":")
+        n, lay, l, f, log2 = VARIANTS[key]
+        results.append(
+            run_variant(n, lay, l, f, int(per_steps or steps), data, log2_entries=log2)
+        )
 
-    ref = next(r for r in results if r["layout"] == "hash")
-    for r in results:
-        r["psnr_vs_reference_layout"] = round(r["val_psnr"] - ref["val_psnr"], 3)
     dest = REPO / "NGP_QUALITY.json"
-    dest.write_text(json.dumps(results, indent=2) + "\n")
+    merged = json.loads(dest.read_text()) if dest.exists() else []
+    by_key = {(r["variant"], r["steps"]): r for r in merged}
+    for r in results:
+        by_key[(r["variant"], r["steps"])] = r
+    merged = list(by_key.values())
+    ref = next((r for r in merged if r["layout"] == "hash"), None)
+    for r in merged:
+        if ref is not None:
+            r["psnr_vs_reference_layout"] = round(r["val_psnr"] - ref["val_psnr"], 3)
+            r["wall_time_vs_reference_layout"] = round(
+                r["train_seconds"] / ref["train_seconds"], 4
+            )
+    dest.write_text(json.dumps(merged, indent=2) + "\n")
     print(f"wrote {dest}")
 
 

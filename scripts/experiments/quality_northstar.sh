@@ -1,0 +1,89 @@
+#!/usr/bin/env bash
+# Quality north-star run (BASELINE.json: >=31 dB PSNR on a lego-class 400^2
+# scene). No Blender data can exist in this environment (zero egress), so the
+# procedural gaussian_blobs scene stands in at the reference's exact lego
+# operating point: train at 400^2 (half-res contract), validate/render/score
+# the DISJOINT test split at 800^2 — mirroring
+# /root/reference/torch_nerf/runners/train.py:64-71 (val split, full res) and
+# runners/render.py:44-45 (test split, full res).
+#
+# Drives the three real CLIs (run_train -> run_render -> evaluate), then
+# writes QUALITY_r{N}.json at the repo root.
+#
+#   bash scripts/experiments/quality_northstar.sh [steps] [round]
+set -euo pipefail
+cd "$(dirname "$0")/../.."
+
+STEPS="${1:-20000}"
+ROUND="${2:-03}"
+RUN=/tmp/quality_r${ROUND}
+GT=/tmp/quality_r${ROUND}_gt
+RENDER=/tmp/quality_r${ROUND}_render
+rm -rf "$RUN" "$GT" "$RENDER"
+
+START=$(date +%s)
+python -u -m torch_nerf_tpu.runners.run_train \
+  --config default --log-dir "$RUN" --max-steps "$STEPS" \
+  data.dataset_type=gaussian_blobs data.img_size=400 data.num_views=16 \
+  train_params.optim.num_iter="$STEPS" \
+  train_params.validation.validate_every=125 \
+  train_params.log.epoch_btw_ckpt=250 train_params.log.epoch_btw_vis=250
+TRAIN_S=$(( $(date +%s) - START ))
+
+python -u -m torch_nerf_tpu.runners.run_render \
+  --log-dir "$RUN" --render-test-views --num-views 4 --out-dir "$RENDER"
+
+# ground-truth test images (the analytic scene rendered at the same 800^2
+# test poses run_render used — the procedural analogue of the dataset's
+# test/*.png files)
+python -u - "$RUN" "$GT" <<'EOF'
+import sys
+from pathlib import Path
+from torch_nerf_tpu import config as cfg_mod, session
+from torch_nerf_tpu.logging_utils import save_png
+
+run, gt = Path(sys.argv[1]), Path(sys.argv[2])
+cfg = cfg_mod.load_config(run / "config.yaml")
+ds = session.build_dataset(cfg, split="test")
+gt.mkdir(parents=True, exist_ok=True)
+for i in range(4):
+    save_png(gt / f"{i:04d}.png", ds.images[i])
+EOF
+
+python -u -m torch_nerf_tpu.runners.evaluate "$RENDER" "$GT" | tee /tmp/quality_eval.txt
+
+python -u - "$STEPS" "$TRAIN_S" "$ROUND" <<'EOF'
+import json, re, sys
+from pathlib import Path
+
+steps, train_s, rnd = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+eval_txt = Path("/tmp/quality_eval.txt").read_text()
+metrics = {
+    k.lower(): float(v)
+    for k, v in re.findall(r"(PSNR|SSIM|LPIPS): ([0-9.]+)", eval_txt)
+}
+# the in-loop validation curve (val split @ 800^2) from the train log
+curve = []
+log = Path(f"/tmp/quality_r{rnd}") / "metrics.jsonl"
+if log.exists():
+    for line in log.read_text().splitlines():
+        rec = json.loads(line)
+        if "val/psnr" in rec:
+            curve.append({"step": rec["step"], "psnr": round(rec["val/psnr"], 3)})
+out = {
+    "north_star": ">=31 dB PSNR on a lego-class 400^2 scene (BASELINE.json)",
+    "scene": "gaussian_blobs procedural (no Blender data in this env; "
+    "disjoint train/val/test camera splits)",
+    "protocol": "train 400^2 x 16 views (real train CLI) -> render 4 test "
+    "views @ 800^2 (real render CLI) -> score vs analytic ground truth "
+    "(real evaluate CLI)",
+    "steps": steps,
+    "train_wall_seconds": train_s,
+    "test_metrics": metrics,
+    "val_psnr_curve": curve,
+    "achieved": metrics.get("psnr", 0.0) >= 31.0,
+}
+dest = Path(f"QUALITY_r{rnd}.json")
+dest.write_text(json.dumps(out, indent=2) + "\n")
+print(f"wrote {dest}: PSNR={metrics.get('psnr')}")
+EOF
