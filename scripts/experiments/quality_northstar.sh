@@ -16,6 +16,9 @@ cd "$(dirname "$0")/../.."
 
 STEPS="${1:-20000}"
 ROUND="${2:-03}"
+# val renders are 5 full 800^2 frames (~3.2M rays each pass) — cadence is the
+# main wall-time knob besides STEPS
+VAL_EVERY="${3:-$(( STEPS / 10 ))}"
 RUN=/tmp/quality_r${ROUND}
 GT=/tmp/quality_r${ROUND}_gt
 RENDER=/tmp/quality_r${ROUND}_render
@@ -26,8 +29,8 @@ python -u -m torch_nerf_tpu.runners.run_train \
   --config default --log-dir "$RUN" --max-steps "$STEPS" \
   data.dataset_type=gaussian_blobs data.img_size=400 data.num_views=16 \
   train_params.optim.num_iter="$STEPS" \
-  train_params.validation.validate_every=125 \
-  train_params.log.epoch_btw_ckpt=250 train_params.log.epoch_btw_vis=250
+  train_params.validation.validate_every="$VAL_EVERY" \
+  train_params.log.epoch_btw_ckpt="$VAL_EVERY" train_params.log.epoch_btw_vis="$STEPS"
 TRAIN_S=$(( $(date +%s) - START ))
 
 python -u -m torch_nerf_tpu.runners.run_render \

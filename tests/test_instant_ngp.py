@@ -210,12 +210,16 @@ def test_folded_kernels_interpret_match_xla_path():
     key = jax.random.PRNGKey(3)
     tables = instant_ngp.init_packed_hash_table(key, L, logT, F)
     res = jnp.asarray(instant_ngp.level_resolutions(L, 4, 16))
+    # non-zero offsets on one level exercise the in-kernel dual-grid stagger
+    off = jnp.asarray([0.0, 0.5, 0.0], jnp.float32)
     pts = jnp.asarray(
         np.random.default_rng(9).uniform(-1.5, 1.5, (100, 3)), jnp.float32
     )
 
     def loss(t, interpret):
-        out = instant_ngp.hash_encode_packed(t, pts, res, F, interpret=interpret)
+        out = instant_ngp.hash_encode_packed(
+            t, pts, res, F, interpret=interpret, offsets=off
+        )
         return jnp.sum(out**2), out
 
     (l_k, out_k), g_k = jax.value_and_grad(loss, has_aux=True)(tables, True)
@@ -307,3 +311,68 @@ def test_hash_encode_matches_naive_per_corner_loop():
             np.testing.assert_allclose(
                 out[n, level * F : (level + 1) * F], expect, rtol=1e-4, atol=1e-6
             )
+
+
+def test_packed_dual_encode_is_two_staggered_grids():
+    """packed_dual == concat(base-grid packed encode, encode with scaled
+    coords shifted by +0.5) — the half-voxel-staggered second grid."""
+    L, logT, F = 2, 9, 4
+    key = jax.random.PRNGKey(4)
+    tables = instant_ngp.init_packed_hash_table(key, 2 * L, logT, F)
+    res = jnp.asarray(instant_ngp.level_resolutions(L, 4, 8))
+    res2, off2 = instant_ngp.dual_resolutions_offsets(res)
+    pts = jnp.asarray(
+        np.random.default_rng(13).uniform(-1.5, 1.5, (21, 3)), jnp.float32
+    )
+
+    out = np.asarray(
+        instant_ngp.hash_encode_packed(tables, pts, res2, F, offsets=off2)
+    )
+    base = np.asarray(instant_ngp.hash_encode_packed(tables[:L], pts, res, F))
+    # the staggered grid == the base machinery queried at p + 0.5/res
+    shifted_pts = pts[:, None, :] + 0.5 / jnp.asarray(res)[None, :, None]
+    stag = np.stack(
+        [
+            np.asarray(
+                instant_ngp.hash_encode_packed(
+                    tables[L + l : L + l + 1],
+                    shifted_pts[:, l],
+                    res[l : l + 1],
+                    F,
+                )
+            )
+            for l in range(L)
+        ],
+        axis=1,
+    ).reshape(pts.shape[0], L * F)
+    np.testing.assert_allclose(out[:, : L * F], base, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out[:, L * F : 2 * L * F], stag, rtol=1e-4, atol=1e-5)
+
+
+def test_packed_dual_field_trains():
+    """Dual layout: 2L pseudo-level tables, grads flow, shapes match."""
+    field = make_instant_ngp_field(
+        num_level=4, log_max_entry_per_level=8, min_res=4, max_res=32,
+        table_layout="packed_dual",
+    )
+    params = field.init(jax.random.PRNGKey(0))
+    assert params["tables"].shape == (8, 4, 128)
+    # fc_in consumes the 2x-wide dual encoding
+    assert params["density_mlp"]["fc_in"]["w"].shape[0] == 2 * 4 * 2
+
+    pts = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (8, 4, 3)), jnp.float32)
+    dirs = jnp.asarray(np.random.default_rng(1).normal(size=(8, 4, 3)), jnp.float32)
+    sigma, rgb = field.apply(params, pts, dirs)
+    assert sigma.shape == (8, 4)
+    assert rgb.shape == (8, 4, 3)
+
+    def loss(p):
+        s, r = field.apply(p, pts, dirs)
+        return jnp.mean(r) + 1e-3 * jnp.mean(s)
+
+    grads = jax.grad(loss)(params)
+    g = np.asarray(grads["tables"])
+    assert np.all(np.isfinite(g))
+    # both the base grids (pseudo-levels [0, L)) and the staggered grids
+    # ([L, 2L)) must receive gradient
+    assert np.any(g[:4] != 0) and np.any(g[4:] != 0)

@@ -69,6 +69,7 @@ def packed_prep(
     resolutions: jnp.ndarray,
     num_rows: int,
     feat_dim: int,
+    offsets: jnp.ndarray | None = None,
 ):
     """Voxel-packed lookup preparation, computed level-major and lane-DENSE.
 
@@ -87,6 +88,10 @@ def packed_prep(
     and was measured at ~450 ms/step at the production operating point —
     ~30x the cost of this dense formulation.
 
+    ``offsets`` (L,) shifts each level's SCALED coordinates before the voxel
+    floor/hash — the half-voxel stagger of the dual-grid layout rides through
+    as ``scaled = res * p + offset`` (0 everywhere for plain packed).
+
     Returns (idx_fold (L, N) int32, w128 (L, N, 128) float32).
     """
     fold = LANES // (8 * feat_dim)
@@ -99,10 +104,12 @@ def packed_prep(
     slot_of_lane = jnp.asarray(lane // (8 * feat_dim), dtype=jnp.int32)
     bits = jnp.asarray(CORNERS[corner_of_lane])  # (128, 3)
 
+    if offsets is None:
+        offsets = jnp.zeros_like(resolutions)
     idx = jnp.zeros((num_level, n), dtype=jnp.uint32)
     w128 = jnp.ones((num_level, n, LANES), dtype=jnp.float32)
     for axis in range(3):
-        scaled = resolutions[:, None] * coords[None, :, axis]  # (L, N)
+        scaled = resolutions[:, None] * coords[None, :, axis] + offsets[:, None]
         floor = jnp.floor(scaled)
         span = jnp.ceil(scaled) - floor  # 0 when scaled is integral
         idx = jnp.bitwise_xor(

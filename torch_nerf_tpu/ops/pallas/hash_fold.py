@@ -122,11 +122,12 @@ def _lane_corner_bits(feat_dim: int):
     return masks
 
 
-def _weight_line(coords, res, feat_dim: int, num_rows: int):
+def _weight_line(coords, res, off, feat_dim: int, num_rows: int):
     """Slot-positioned trilinear weight line (tile, 128) for one level,
     computed from the raw (tile, 3) coords — identical math to
     ``hash_math.packed_prep`` (weights |opposite - scaled| in select form,
-    slot from the power-of-two packed-row hash)."""
+    slot from the power-of-two packed-row hash). ``off`` shifts the scaled
+    coordinates (the dual-grid half-voxel stagger; 0 for plain packed)."""
     fold = LANES // (8 * feat_dim)
     bits = _lane_corner_bits(feat_dim)
     primes = HASH_PRIMES
@@ -134,7 +135,7 @@ def _weight_line(coords, res, feat_dim: int, num_rows: int):
     w = None
     h = None
     for axis in range(3):
-        scaled = coords[:, axis : axis + 1] * res  # (tile, 1)
+        scaled = coords[:, axis : axis + 1] * res + off  # (tile, 1)
         floor = jnp.floor(scaled)
         span = jnp.ceil(scaled) - floor  # 0 when scaled is integral
         frac = scaled - floor
@@ -153,7 +154,7 @@ def _weight_line(coords, res, feat_dim: int, num_rows: int):
     return jnp.where(slot == slot_of_lane, w, 0.0)
 
 
-def prep_indices(coords, resolutions, cfg: FoldCfg):
+def prep_indices(coords, resolutions, offsets, cfg: FoldCfg):
     """Folded line indices for the kernels, tile-major: (num_tiles * L * tile,).
 
     ``absolute=True`` layout adds ``l * t_fold`` so the forward loop indexes
@@ -169,7 +170,7 @@ def prep_indices(coords, resolutions, cfg: FoldCfg):
 
     idx = jnp.zeros((cfg.num_level, n), dtype=jnp.uint32)
     for axis in range(3):
-        scaled = resolutions[:, None] * coords[None, :, axis]  # (L, N)
+        scaled = resolutions[:, None] * coords[None, :, axis] + offsets[:, None]
         idx = jnp.bitwise_xor(
             idx, jnp.floor(scaled).astype(jnp.int32).astype(jnp.uint32) * primes[axis]
         )
@@ -197,7 +198,7 @@ def prep_indices(coords, resolutions, cfg: FoldCfg):
 def _fwd_kernel(res_ref, idx_ref, coords_ref, table_ref, out_ref, rows_ref, *, cfg: FoldCfg):
     """One point-tile, ALL levels: per-row table reads, in-kernel weights.
 
-    res_ref: (L,) SMEM f32 level resolutions.
+    res_ref: (2L,) SMEM f32 — level resolutions then level coord offsets.
     idx_ref: (L*tile,) SMEM — absolute folded line ids, level-major in-tile.
     coords_ref: (tile, 3) VMEM raw coordinates.
     table_ref: (L*Tf, 128) VMEM — ALL levels' folded tables, resident.
@@ -222,7 +223,10 @@ def _fwd_kernel(res_ref, idx_ref, coords_ref, table_ref, out_ref, rows_ref, *, c
             return carry
 
         jax.lax.fori_loop(0, tile // unroll, body, 0)
-        w128 = _weight_line(coords, res_ref[level], cfg.feat_dim, cfg.num_rows)
+        w128 = _weight_line(
+            coords, res_ref[level], res_ref[cfg.num_level + level],
+            cfg.feat_dim, cfg.num_rows,
+        )
         prod = rows_ref[:] * w128
         contrib = _place(prod, level, cfg.feat_dim, transpose=False, bf16=cfg.place_bf16)
         return acc + contrib
@@ -232,7 +236,7 @@ def _fwd_kernel(res_ref, idx_ref, coords_ref, table_ref, out_ref, rows_ref, *, c
     )
 
 
-def _fwd_pallas(tables, idx_fwd, coords, resolutions, cfg: FoldCfg):
+def _fwd_pallas(tables, idx_fwd, coords, res_off, cfg: FoldCfg):
     n = coords.shape[0]
     num_tiles = n // cfg.tile
     lt = cfg.num_level * cfg.tile
@@ -240,7 +244,7 @@ def _fwd_pallas(tables, idx_fwd, coords, resolutions, cfg: FoldCfg):
         functools.partial(_fwd_kernel, cfg=cfg),
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # resolutions, whole
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # res_off (2L,), whole
             pl.BlockSpec((lt,), lambda t: (t,), memory_space=pltpu.SMEM),
             pl.BlockSpec((cfg.tile, 3), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # whole folded tables
@@ -254,13 +258,13 @@ def _fwd_pallas(tables, idx_fwd, coords, resolutions, cfg: FoldCfg):
         if cfg.interpret
         else pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=cfg.interpret,
-    )(resolutions.astype(jnp.float32), idx_fwd, coords, tables)
+    )(res_off, idx_fwd, coords, tables)
 
 
-def _fwd_xla(tables, coords, resolutions, cfg: FoldCfg):
+def _fwd_xla(tables, coords, resolutions, offsets, cfg: FoldCfg):
     num_level, n = cfg.num_level, coords.shape[0]
     t_fold = tables.shape[0] // num_level
-    idx_fold, w128 = packed_prep(coords, resolutions, cfg.num_rows, cfg.feat_dim)
+    idx_fold, w128 = packed_prep(coords, resolutions, cfg.num_rows, cfg.feat_dim, offsets)
     level_offset = jnp.arange(num_level, dtype=jnp.int32)[:, None] * t_fold
     rows = jnp.take(tables, (idx_fold + level_offset).reshape(-1), axis=0)
     prod = (rows * w128.reshape(num_level * n, LANES)).reshape(num_level, n, LANES)
@@ -298,7 +302,10 @@ def _bwd_kernel(res_ref, idx_ref, coords_ref, g_ref, *rest, cfg: FoldCfg):
 
     def vals_body(level, carry):
         dprod = _place(g, level, cfg.feat_dim, transpose=True, bf16=cfg.place_bf16)
-        w128 = _weight_line(coords, res_ref[level], cfg.feat_dim, cfg.num_rows)
+        w128 = _weight_line(
+            coords, res_ref[level], res_ref[cfg.num_level + level],
+            cfg.feat_dim, cfg.num_rows,
+        )
         vals_ref[pl.ds(level * tile, tile), :] = dprod * w128
         return carry
 
@@ -321,7 +328,7 @@ def _bwd_kernel(res_ref, idx_ref, coords_ref, g_ref, *rest, cfg: FoldCfg):
     jax.lax.fori_loop(0, tile // unroll, body, 0)
 
 
-def _bwd_pallas(g128, idx_bwd, coords, resolutions, t_fold, cfg: FoldCfg):
+def _bwd_pallas(g128, idx_bwd, coords, res_off, t_fold, cfg: FoldCfg):
     n = coords.shape[0]
     num_tiles = n // cfg.tile
     lt = cfg.num_level * cfg.tile
@@ -348,7 +355,7 @@ def _bwd_pallas(g128, idx_bwd, coords, resolutions, t_fold, cfg: FoldCfg):
         if cfg.interpret
         else pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=cfg.interpret,
-    )(resolutions.astype(jnp.float32), idx_bwd, coords, g128)
+    )(res_off, idx_bwd, coords, g128)
     # reassemble level-major: level l = outs[l % group][(l // group) block]
     dtables = [
         outs[l % group][(l // group) * t_fold : (l // group + 1) * t_fold]
@@ -357,9 +364,9 @@ def _bwd_pallas(g128, idx_bwd, coords, resolutions, t_fold, cfg: FoldCfg):
     return jnp.concatenate(dtables, axis=0)
 
 
-def _bwd_xla(g128, coords, resolutions, t_fold, cfg: FoldCfg):
+def _bwd_xla(g128, coords, resolutions, offsets, t_fold, cfg: FoldCfg):
     num_level, n = cfg.num_level, coords.shape[0]
-    idx_fold, w128 = packed_prep(coords, resolutions, cfg.num_rows, cfg.feat_dim)
+    idx_fold, w128 = packed_prep(coords, resolutions, cfg.num_rows, cfg.feat_dim, offsets)
     dprod = jnp.concatenate(
         [
             jnp.dot(g128, _placement_matrix(level, cfg.feat_dim, transpose=True))
@@ -378,48 +385,60 @@ def _bwd_xla(g128, coords, resolutions, t_fold, cfg: FoldCfg):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def encode_folded(cfg: FoldCfg, tables, coords, resolutions):
+def encode_folded(cfg: FoldCfg, tables, coords, resolutions, offsets):
     """Folded voxel-packed hash encode for one chunk -> (N, 128) feature
     lines whose first L*F lanes are the level-major packed features (the
     rest are zero — sized for the 128-lane MLP input, no narrow arrays).
 
     ``tables``: (L, Tf, 128) folded; ``coords``: (N, 3) with N a multiple of
-    ``cfg.tile``; ``resolutions``: (L,). Gradients flow to ``tables`` only
-    (trilinear weights are functions of the non-trainable coordinates).
+    ``cfg.tile``; ``resolutions``: (L,); ``offsets``: (L,) scaled-coordinate
+    shifts (the dual layout's half-voxel stagger — zeros for plain packed).
+    Gradients flow to ``tables`` only (trilinear weights are functions of
+    the non-trainable coordinates).
     """
-    out, _ = _encode_fwd(cfg, tables, coords, resolutions)
+    out, _ = _encode_fwd(cfg, tables, coords, resolutions, offsets)
     return out
 
 
-def _encode_fwd(cfg: FoldCfg, tables, coords, resolutions):
+def _res_off(resolutions, offsets):
+    return jnp.concatenate(
+        [resolutions.astype(jnp.float32), offsets.astype(jnp.float32)]
+    )
+
+
+def _encode_fwd(cfg: FoldCfg, tables, coords, resolutions, offsets):
     num_level, t_fold, _ = tables.shape
     if cfg.use_kernel:
-        idx_fwd, _ = prep_indices(coords, resolutions, cfg)
+        idx_fwd, _ = prep_indices(coords, resolutions, offsets, cfg)
         out = _fwd_pallas(
-            tables.reshape(num_level * t_fold, LANES), idx_fwd, coords, resolutions, cfg
+            tables.reshape(num_level * t_fold, LANES),
+            idx_fwd, coords, _res_off(resolutions, offsets), cfg,
         )
     else:
         out = _fwd_xla(
-            tables.reshape(num_level * t_fold, LANES), coords, resolutions, cfg
+            tables.reshape(num_level * t_fold, LANES), coords, resolutions, offsets, cfg
         )
     # indices are recomputed in the backward: holding the tile-major int
     # streams across fwd->bwd costs more HBM residency than the (L, N) int
     # rebuild (same trade as round-1's save_prep=False for weight lines)
-    return out, (tables.shape, coords, resolutions)
+    return out, (tables.shape, coords, resolutions, offsets)
 
 
 def _encode_bwd(cfg: FoldCfg, residuals, g):
-    (num_level, t_fold, _), coords, resolutions = residuals
+    (num_level, t_fold, _), coords, resolutions, offsets = residuals
     g128 = g.astype(jnp.float32)
     if cfg.use_kernel:
-        _, idx_bwd = prep_indices(coords, resolutions, cfg)
-        dtables = _bwd_pallas(g128, idx_bwd, coords, resolutions, t_fold, cfg)
+        _, idx_bwd = prep_indices(coords, resolutions, offsets, cfg)
+        dtables = _bwd_pallas(
+            g128, idx_bwd, coords, _res_off(resolutions, offsets), t_fold, cfg
+        )
     else:
-        dtables = _bwd_xla(g128, coords, resolutions, t_fold, cfg)
+        dtables = _bwd_xla(g128, coords, resolutions, offsets, t_fold, cfg)
     return (
         dtables.reshape(num_level, t_fold, LANES),
         jnp.zeros_like(coords),
         jnp.zeros_like(resolutions),
+        jnp.zeros_like(offsets),
     )
 
 
