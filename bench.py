@@ -24,7 +24,7 @@ import numpy as np
 REFERENCE_RAYS_PER_SEC = 10.0 * 4096.0
 
 
-def main(model: str = "nerf") -> None:
+def main(model: str = "nerf", layout: str | None = None) -> None:
     from torch_nerf_tpu import train
     from torch_nerf_tpu.datasets import synthetic
     from torch_nerf_tpu.fields import make_nerf_field
@@ -35,17 +35,35 @@ def main(model: str = "nerf") -> None:
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
     if model == "instant_nerf":
         # hash-grid operating point: 256 coarse samples, no fine network
-        # (configs/instant_nerf.yaml in the reference)
+        # (configs/instant_nerf.yaml in the reference), at the production
+        # TPU preset (dual staggered-packed layout, reference 16.8M-param
+        # budget — config.instant_nerf_tpu_config; quality evidence in
+        # NGP_QUALITY.json). `--layout=hash|packed` measures the others at
+        # the same param budget.
+        from torch_nerf_tpu import config as cfg_mod
         from torch_nerf_tpu.fields_ngp import make_instant_ngp_field
 
+        cfg = cfg_mod.instant_nerf_tpu_config()
+        net = cfg.network
+        if layout is not None and layout != "packed_dual":
+            net = cfg_mod.NetworkConfig(
+                type="instant_nerf", table_layout=layout
+            )  # reference L16F2 2^19 geometry
         settings = RenderSettings(
             num_samples_coarse=256, num_samples_fine=0, t_near=2.0, t_far=6.0
         )
         field = make_instant_ngp_field(
-            compute_dtype=compute_dtype, table_layout="packed"
+            num_level=net.num_level,
+            log_max_entry_per_level=net.log_max_entry_per_level,
+            table_feat_dim=net.table_feat_dim,
+            compute_dtype=compute_dtype,
+            table_layout=net.table_layout,
         )
         optim = train.OptimConfig(num_iter=300_000, init_lr=1e-2, end_lr=1e-3, eps=1e-15)
-        unit = "rays/s (fwd+bwd, 256 samples, instant-NGP packed hash grid)"
+        unit = (
+            f"rays/s (fwd+bwd, 256 samples, instant-NGP {net.table_layout} "
+            f"L{net.num_level}F{net.table_feat_dim} hash grid)"
+        )
     else:
         settings = RenderSettings(
             num_samples_coarse=64, num_samples_fine=128, t_near=2.0, t_far=6.0
@@ -98,4 +116,7 @@ def main(model: str = "nerf") -> None:
 if __name__ == "__main__":
     import sys
 
-    main("instant_nerf" if "--model=instant_nerf" in sys.argv[1:] else "nerf")
+    main(
+        "instant_nerf" if "--model=instant_nerf" in sys.argv[1:] else "nerf",
+        next((a.split("=")[1] for a in sys.argv[1:] if a.startswith("--layout=")), None),
+    )

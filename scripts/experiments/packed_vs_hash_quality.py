@@ -105,7 +105,9 @@ VARIANTS = {
     # overfit (see the packed 100k-step rows). 2 gathers/(point, level).
     "packed_dual_L8F4": ("packed_dual_L8F4", "packed_dual", 8, 4, 15),
     "packed_dual_L4F8": ("packed_dual_L4F8", "packed_dual", 4, 8, 15),
+    "packed_dual_L4F16": ("packed_dual_L4F16", "packed_dual", 4, 16, 15),
     "packed_dual_L4F8_T18": ("packed_dual_L4F8_T18 (8x rows)", "packed_dual", 4, 8, 18),
+    "packed_dual_L4F16_T18": ("packed_dual_L4F16_T18 (8x rows)", "packed_dual", 4, 16, 18),
 }
 
 

@@ -6,6 +6,15 @@ T, a hash-table row gather can be vectorized as batches of T point-rows with
 lane-broadcast indices. Run on the real TPU:
 
     python scripts/experiments/probe_dynamic_gather.py
+
+MEASURED (round 3, v5e, jax 0.8.x): tpu.dynamic_gather along dim 0 requires
+the SOURCE to be a single vreg along the gather dimension — (T, 128) f32
+sources with T > 8 fail to lower ("Not implemented: Multiple source vregs
+along gather dimension"). An 8-sublane window is useless for 2^16-row hash
+tables, so vectorized VMEM gather is NOT available on this stack; the
+per-row scalar dynamic-slice loop (~6 cycles/row) remains the gather
+mechanism, and row-count reduction (voxel packing, fewer/wider levels —
+models/instant_ngp.py) is the only large lever.
 """
 
 from __future__ import annotations

@@ -31,10 +31,16 @@ def main(model: str) -> None:
         from torch_nerf_tpu.fields_ngp import make_instant_ngp_field
 
         settings = RenderSettings(num_samples_coarse=256, num_samples_fine=0)
+
+        def arg(name, default):
+            return next((a.split("=")[1] for a in sys.argv if a.startswith(f"--{name}=")), default)
+
         field = make_instant_ngp_field(
-            num_level=int(next((a.split("=")[1] for a in sys.argv if a.startswith("--levels=")), 16)),
-            table_feat_dim=int(next((a.split("=")[1] for a in sys.argv if a.startswith("--feat=")), 2)),
-            compute_dtype=compute_dtype, table_layout="packed",
+            num_level=int(arg("levels", "16")),
+            table_feat_dim=int(arg("feat", "2")),
+            log_max_entry_per_level=int(arg("log2", "19")),
+            compute_dtype=compute_dtype,
+            table_layout=arg("layout", "packed"),
         )
         optim = train.OptimConfig(num_iter=300_000, init_lr=1e-2, end_lr=1e-3, eps=1e-15)
     else:

@@ -16,9 +16,12 @@ cd "$(dirname "$0")/../.."
 
 STEPS="${1:-20000}"
 ROUND="${2:-03}"
-# val renders are 5 full 800^2 frames (~3.2M rays each pass) — cadence is the
-# main wall-time knob besides STEPS
-VAL_EVERY="${3:-$(( STEPS / 10 ))}"
+VIEWS=16
+# cadences are in EPOCHS (= STEPS/VIEWS steps each, reference semantics); val
+# renders are 5 full 800^2 frames (~3.2M rays each pass), so ~10 validations
+# over the run is the wall-time-sane default
+VAL_EVERY="${3:-$(( STEPS / VIEWS / 10 ))}"
+VIS_NEVER=$(( STEPS / VIEWS + 1 ))
 RUN=/tmp/quality_r${ROUND}
 GT=/tmp/quality_r${ROUND}_gt
 RENDER=/tmp/quality_r${ROUND}_render
@@ -27,10 +30,10 @@ rm -rf "$RUN" "$GT" "$RENDER"
 START=$(date +%s)
 python -u -m torch_nerf_tpu.runners.run_train \
   --config default --log-dir "$RUN" --max-steps "$STEPS" \
-  data.dataset_type=gaussian_blobs data.img_size=400 data.num_views=16 \
+  data.dataset_type=gaussian_blobs data.img_size=400 data.num_views=$VIEWS \
   train_params.optim.num_iter="$STEPS" \
   train_params.validation.validate_every="$VAL_EVERY" \
-  train_params.log.epoch_btw_ckpt="$VAL_EVERY" train_params.log.epoch_btw_vis="$STEPS"
+  train_params.log.epoch_btw_ckpt="$VAL_EVERY" train_params.log.epoch_btw_vis="$VIS_NEVER"
 TRAIN_S=$(( $(date +%s) - START ))
 
 python -u -m torch_nerf_tpu.runners.run_render \

@@ -70,9 +70,14 @@ class NetworkConfig:
     table_feat_dim: int = 2
     min_res: int = 16
     max_res: int = 512
-    # "hash" = reference-parity per-corner hashing; "packed" = TPU-fast
-    # voxel-packed rows (~16x fewer gather indices; see models/instant_ngp.py)
-    table_layout: str = "packed"
+    # "hash" = reference-parity per-corner hashing (the default — identical
+    # math to the reference); "packed" = TPU-fast voxel-packed rows (~16x
+    # fewer gather indices but measured -4.5 dB novel-view PSNR from the
+    # missing cross-voxel coupling, NGP_QUALITY.json — VERDICT r1 required
+    # flipping the default back); "packed_dual" = packed plus a half-voxel-
+    # staggered second grid per level (cross-voxel coupling restored at
+    # 2 gathers/(point, level); the instant_nerf_tpu preset's layout)
+    table_layout: str = "hash"
 
 
 @dataclasses.dataclass
@@ -187,10 +192,27 @@ def instant_nerf_config() -> ExperimentConfig:
     return cfg
 
 
+def instant_nerf_tpu_config() -> ExperimentConfig:
+    """TPU-production hash-grid preset: the dual staggered-packed layout at
+    the reference's exact 16.8M-param budget, reshaped for the v5e's
+    scalar-issue-bound gather/scatter (fewer, wider levels — rows per point
+    are the cost driver, not features per row; see NGP_QUALITY.json for the
+    quality evidence and models/instant_ngp.py for the layout).
+    """
+    cfg = instant_nerf_config()
+    cfg.network.table_layout = "packed_dual"
+    cfg.network.num_level = 4
+    cfg.network.table_feat_dim = 8
+    # 2 grids x 4 levels x 2^18 corner-feature slots x 8 feats = 16.8M params
+    cfg.network.log_max_entry_per_level = 18
+    return cfg
+
+
 PRESETS = {
     "default": ExperimentConfig,
     "nerf": ExperimentConfig,
     "instant_nerf": instant_nerf_config,
+    "instant_nerf_tpu": instant_nerf_tpu_config,
 }
 
 

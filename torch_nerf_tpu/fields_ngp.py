@@ -35,7 +35,10 @@ def make_instant_ngp_field(
 
     ``table_layout``: "hash" reproduces the reference's per-corner spatial
     hashing exactly; "packed" is the TPU-fast voxel-packed layout (~16x
-    fewer gather indices per point — see ``models.instant_ngp``).
+    fewer gather indices per point); "packed_dual" adds a half-voxel-
+    staggered second packed grid per level (2 gathers/(point, level)) to
+    restore the cross-voxel coupling plain packed lacks — see
+    ``models.instant_ngp``.
     """
     resolutions = jnp.asarray(
         instant_ngp.level_resolutions(num_level, min_res, max_res)

@@ -182,7 +182,9 @@ def estimate_flops_per_step(cfg: cfg_mod.ExperimentConfig) -> float:
         macs = sum(i * o for i, o in layer_dims(pos_dim, dir_dim, net.feat_dim).values())
     else:  # instant_nerf: density (LF->64->16) + color (16+sh -> 64 -> 64 -> 3)
         lf = net.num_level * net.table_feat_dim
-        sh_dim = (enc.degree + 1) ** 2 if enc.type == "sh" else 27
+        if net.table_layout == "packed_dual":
+            lf *= 2  # two staggered grids -> 2x-wide encoding
+        sh_dim = enc.degree**2 if enc.type == "sh" else 27
         macs = (lf * 64 + 64 * 64 + 64 * 16) + (
             (16 + sh_dim) * 64 + 64 * 64 + 64 * 3
         )
