@@ -101,3 +101,19 @@ def test_inert_config_values_rejected():
     cfg.scene.type = "sphere"
     with pytest.raises(ValueError, match="scene"):
         session.build_optim_config(cfg)
+
+
+def test_instant_nerf_tpu_preset_matches_reference_param_budget():
+    """The TPU preset reshapes the hash grid but keeps the reference's exact
+    16.8M-param budget (2 grids x L x 2^log2 x F == 16 x 2^19 x 2)."""
+    from torch_nerf_tpu.config import instant_nerf_config, instant_nerf_tpu_config
+
+    ref = instant_nerf_config()
+    tpu = instant_nerf_tpu_config()
+    ref_params = ref.network.num_level * 2**ref.network.log_max_entry_per_level * ref.network.table_feat_dim
+    grids = 2 if tpu.network.table_layout == "packed_dual" else 1
+    tpu_params = grids * tpu.network.num_level * 2**tpu.network.log_max_entry_per_level * tpu.network.table_feat_dim
+    assert tpu_params == ref_params
+    assert ref.network.table_layout == "hash"  # reference-parity default
+    # optimizer contract identical (lr 1e-2 -> 1e-3, eps 1e-15)
+    assert tpu.train_params.optim.eps == ref.train_params.optim.eps == 1e-15
