@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries):
+def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries, decay=0.0):
     from torch_nerf_tpu import metrics, train
     from torch_nerf_tpu.fields_ngp import make_instant_ngp_field
     from torch_nerf_tpu.renderer import RenderSettings, render_image
@@ -48,7 +48,10 @@ def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries):
         compute_dtype=jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32,
         table_layout=layout,
     )
-    optim = train.OptimConfig(num_iter=steps, init_lr=1e-2, end_lr=1e-3, eps=1e-15)
+    optim = train.OptimConfig(
+        num_iter=steps, init_lr=1e-2, end_lr=1e-3, eps=1e-15,
+        table_weight_decay=decay,
+    )
     state = train.create_train_state(jax.random.PRNGKey(0), field, settings, optim)
     step = train.make_image_train_step(
         field, settings, optim, camera, num_pixels=1024, donate=True
@@ -73,7 +76,7 @@ def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries):
         psnrs.append(metrics.psnr(np.asarray(img), gt))
     grids = 2 if layout == "packed_dual" else 1
     out = {
-        "variant": name,
+        "variant": name if decay == 0.0 else f"{name}_wd{decay:g}",
         "layout": layout,
         "num_level": num_level,
         "feat_dim": feat_dim,
@@ -118,6 +121,7 @@ def main():
     # equal steps. Results merge into NGP_QUALITY.json keyed on
     # (variant, steps).
     steps = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--steps=")), 3000))
+    decay = float(next((a.split("=")[1] for a in sys.argv if a.startswith("--decay=")), 0.0))
     picks = [a for a in sys.argv[1:] if not a.startswith("--")]
     if not picks:
         picks = list(VARIANTS)
@@ -138,7 +142,10 @@ def main():
         key, _, per_steps = pick.partition(":")
         n, lay, l, f, log2 = VARIANTS[key]
         results.append(
-            run_variant(n, lay, l, f, int(per_steps or steps), data, log2_entries=log2)
+            run_variant(
+                n, lay, l, f, int(per_steps or steps), data,
+                log2_entries=log2, decay=decay,
+            )
         )
 
     dest = REPO / "NGP_QUALITY.json"

@@ -126,3 +126,28 @@ def test_scene_field_container_queries_active_primitive():
     s_b, r_b = b.apply(params["cube_b"], pts, dirs)
     np.testing.assert_array_equal(np.asarray(sigma), np.asarray(s_b))
     np.testing.assert_array_equal(np.asarray(rgb), np.asarray(r_b))
+
+
+def test_table_weight_decay_touches_only_tables():
+    """L2-through-Adam table decay: with zero gradients, decayed table
+    params must shrink while MLP params stay (train.make_optimizer)."""
+    import optax
+
+    from torch_nerf_tpu import train
+
+    params = {
+        "coarse": {
+            "tables": jnp.ones((2, 4, 8)),
+            "density_mlp": {"fc_in": {"w": jnp.ones((4, 4)), "b": jnp.zeros(4)}},
+        }
+    }
+    cfg = train.OptimConfig(num_iter=100, init_lr=1e-2, end_lr=1e-2, table_weight_decay=0.1)
+    opt = train.make_optimizer(cfg)
+    state = opt.init(params)
+    zero_grads = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = opt.update(zero_grads, state, params)
+    new = optax.apply_updates(params, updates)
+    assert float(jnp.max(jnp.abs(new["coarse"]["tables"]))) < 1.0
+    np.testing.assert_array_equal(
+        np.asarray(new["coarse"]["density_mlp"]["fc_in"]["w"]), np.ones((4, 4))
+    )

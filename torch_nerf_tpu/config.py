@@ -95,6 +95,9 @@ class OptimSection:
     init_lr: float = 5.0e-4
     end_lr: float = 5.0e-5
     eps: float = 1.0e-8
+    # L2-through-Adam on hash-table leaves only (no reference counterpart;
+    # 0 = reference-faithful). See train.make_optimizer.
+    table_weight_decay: float = 0.0
 
 
 @dataclasses.dataclass

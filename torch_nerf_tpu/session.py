@@ -157,7 +157,11 @@ def build_optim_config(cfg: cfg_mod.ExperimentConfig) -> OptimConfig:
     if cfg.scene.type != "cube":
         raise ValueError(f"Unsupported scene type '{cfg.scene.type}'.")
     return OptimConfig(
-        num_iter=o.num_iter, init_lr=o.init_lr, end_lr=o.end_lr, eps=o.eps
+        num_iter=o.num_iter,
+        init_lr=o.init_lr,
+        end_lr=o.end_lr,
+        eps=o.eps,
+        table_weight_decay=o.table_weight_decay,
     )
 
 

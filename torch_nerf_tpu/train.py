@@ -33,12 +33,19 @@ from torch_nerf_tpu.renderer import RenderSettings, render_rays
 
 @dataclasses.dataclass(frozen=True)
 class OptimConfig:
-    """Mirrors ``configs/train_params/nerf.yaml:1-8``."""
+    """Mirrors ``configs/train_params/nerf.yaml:1-8``.
+
+    ``table_weight_decay`` has no reference counterpart (the reference's
+    Adam is decay-free): it applies decoupled weight decay to hash-TABLE
+    leaves only (the regularizer upstream instant-ngp uses on its hash
+    grids) and is 0 by default so reference runs are bit-faithful.
+    """
 
     num_iter: int = 300_000
     init_lr: float = 5.0e-4
     end_lr: float = 5.0e-5
     eps: float = 1.0e-8
+    table_weight_decay: float = 0.0
 
 
 class TrainState(NamedTuple):
@@ -60,7 +67,25 @@ def lr_schedule(cfg: OptimConfig) -> optax.Schedule:
 
 
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
-    return optax.adam(learning_rate=lr_schedule(cfg), eps=cfg.eps)
+    adam = optax.adam(learning_rate=lr_schedule(cfg), eps=cfg.eps)
+    if cfg.table_weight_decay <= 0.0:
+        return adam
+    # decoupled decay on hash-table leaves only (dict key "tables" anywhere
+    # in the params tree); MLP weights stay decay-free like the reference
+    def table_mask(params):
+        def mark(tree, is_table):
+            if isinstance(tree, dict):
+                return {k: mark(v, is_table or k == "tables") for k, v in tree.items()}
+            return is_table
+
+        return mark(params, False)
+
+    decay = optax.masked(
+        optax.add_decayed_weights(cfg.table_weight_decay), table_mask
+    )
+    # decay feeds INTO Adam (L2-through-Adam, upstream instant-ngp's choice
+    # for its hash grids), so it rides the same moment normalization and lr
+    return optax.chain(decay, adam)
 
 
 def create_train_state(
