@@ -34,9 +34,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries, decay=0.0):
+def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries, decay=0.0, smooth=0.0):
     from torch_nerf_tpu import metrics, train
-    from torch_nerf_tpu.fields_ngp import make_instant_ngp_field
+    from torch_nerf_tpu.fields_ngp import (
+        make_encode_smoothness_loss,
+        make_instant_ngp_field,
+    )
     from torch_nerf_tpu.renderer import RenderSettings, render_image
 
     images, poses, camera, val = data
@@ -52,9 +55,15 @@ def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries, de
         num_iter=steps, init_lr=1e-2, end_lr=1e-3, eps=1e-15,
         table_weight_decay=decay,
     )
+    aux = None
+    if smooth > 0.0:
+        raw = make_encode_smoothness_loss(
+            num_level, table_feat_dim=feat_dim, table_layout=layout,
+        )
+        aux = lambda params, key: smooth * raw(params["coarse"], key)  # noqa: E731
     state = train.create_train_state(jax.random.PRNGKey(0), field, settings, optim)
     step = train.make_image_train_step(
-        field, settings, optim, camera, num_pixels=1024, donate=True
+        field, settings, optim, camera, num_pixels=1024, donate=True, aux_loss_fn=aux
     )
 
     key = jax.random.PRNGKey(1)
@@ -75,8 +84,9 @@ def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries, de
         gt = np.asarray(val_images[i]).reshape(val_camera.img_height, val_camera.img_width, 3)
         psnrs.append(metrics.psnr(np.asarray(img), gt))
     grids = 2 if layout == "packed_dual" else 1
+    tag = ("" if decay == 0.0 else f"_wd{decay:g}") + ("" if smooth == 0.0 else f"_sm{smooth:g}")
     out = {
-        "variant": name if decay == 0.0 else f"{name}_wd{decay:g}",
+        "variant": name + tag,
         "layout": layout,
         "num_level": num_level,
         "feat_dim": feat_dim,
@@ -122,6 +132,7 @@ def main():
     # (variant, steps).
     steps = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--steps=")), 3000))
     decay = float(next((a.split("=")[1] for a in sys.argv if a.startswith("--decay=")), 0.0))
+    smooth = float(next((a.split("=")[1] for a in sys.argv if a.startswith("--smooth=")), 0.0))
     picks = [a for a in sys.argv[1:] if not a.startswith("--")]
     if not picks:
         picks = list(VARIANTS)
@@ -144,7 +155,7 @@ def main():
         results.append(
             run_variant(
                 n, lay, l, f, int(per_steps or steps), data,
-                log2_entries=log2, decay=decay,
+                log2_entries=log2, decay=decay, smooth=smooth,
             )
         )
 

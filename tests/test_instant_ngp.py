@@ -376,3 +376,40 @@ def test_packed_dual_field_trains():
     # both the base grids (pseudo-levels [0, L)) and the staggered grids
     # ([L, 2L)) must receive gradient
     assert np.any(g[:4] != 0) and np.any(g[4:] != 0)
+
+
+def test_encode_smoothness_loss_detects_face_jumps():
+    """Face-probe consistency loss: zero for a globally-constant packed
+    field, positive with gradient flow for a random one."""
+    from torch_nerf_tpu.fields_ngp import make_encode_smoothness_loss
+
+    L, logT, F = 2, 9, 4
+    key = jax.random.PRNGKey(0)
+    loss_fn = make_encode_smoothness_loss(
+        L, min_res=4, max_res=8, table_feat_dim=F, table_layout="packed",
+        num_probes=64,
+    )
+
+    rand_tables = instant_ngp.init_packed_hash_table(key, L, logT, F)
+    params = {"tables": rand_tables * 1e4}  # amplify init so jumps dominate
+    loss = float(loss_fn(params, jax.random.PRNGKey(1)))
+    assert np.isfinite(loss) and loss > 0
+
+    g = jax.grad(lambda p: loss_fn(p, jax.random.PRNGKey(1)))(params)
+    g = np.asarray(g["tables"])
+    assert np.any(g != 0) and np.all(np.isfinite(g))
+
+    # constant field: every corner slot of every row holds the same value
+    # per feature channel -> encode is constant everywhere -> no jumps
+    const = jnp.ones_like(rand_tables)
+    loss_const = float(loss_fn({"tables": const}, jax.random.PRNGKey(1)))
+    assert loss_const < 1e-10
+
+    # dual layout variant constructs without error and is positive too
+    dual_fn = make_encode_smoothness_loss(
+        L, min_res=4, max_res=8, table_feat_dim=F, table_layout="packed_dual",
+        num_probes=64,
+    )
+    dual_tables = instant_ngp.init_packed_hash_table(key, 2 * L, logT, F)
+    dual_loss = float(dual_fn({"tables": dual_tables * 1e4}, jax.random.PRNGKey(1)))
+    assert np.isfinite(dual_loss) and dual_loss > 0

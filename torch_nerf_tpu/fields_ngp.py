@@ -9,6 +9,8 @@ direction passes through the SH encoder).
 
 from __future__ import annotations
 
+from typing import Any, Callable, Dict
+
 import jax
 import jax.numpy as jnp
 
@@ -72,3 +74,77 @@ def make_instant_ngp_field(
         )
 
     return Field(init=init, apply=apply, name="instant_ngp")
+
+
+def make_encode_smoothness_loss(
+    num_level: int,
+    min_res: int = 16,
+    max_res: int = 512,
+    table_feat_dim: int = 2,
+    table_layout: str = "packed",
+    num_probes: int = 1024,
+    bound: float = 2.5,
+) -> Callable[[Dict[str, Any], jax.Array], jnp.ndarray]:
+    """Voxel-face consistency penalty for the packed table layouts.
+
+    The packed layouts fetch ONE row per (point, level): a lattice corner is
+    stored once per adjacent voxel, the copies are independent parameters,
+    and the encoded field is therefore DISCONTINUOUS at voxel faces. Measured
+    consequence (NGP_QUALITY.json): every packed/dual variant plateaus ~4.5
+    dB below the reference-parity "hash" layout on novel views while fitting
+    the training views better — the copies memorize per-voxel instead of
+    agreeing across faces. This loss penalizes the face jumps directly:
+
+    For each level l, draw ``num_probes`` points ON random voxel-face planes
+    (coordinate a set to a random integer plane of level l, the staggered
+    grid's planes shifted by its 0.5 offset) and evaluate the full encode at
+    ``p -+ eps*e_a`` with ``eps = 1e-3 / res_l``. The squared difference of
+    the two encodes is, up to O(eps) slope terms, exactly the squared jump
+    of level l's encoding across that face. Minimizing it drives the corner
+    copies toward agreement — the penalty-method relaxation of the corner
+    sharing the hash layout gets structurally. Gradients reach the tables
+    through the production Pallas custom-VJP kernels (2 * num_probes * L
+    extra gather/scatter rows per step — ~6% of the training rows at the
+    reference operating point with num_probes=4096).
+
+    Returns ``aux_loss(params, key) -> scalar`` (UNWEIGHTED — callers scale;
+    ``params`` is one field's param dict with the ``"tables"`` leaf).
+    """
+    base_res = jnp.asarray(instant_ngp.level_resolutions(num_level, min_res, max_res))
+    if table_layout == "packed_dual":
+        resolutions, offsets = instant_ngp.dual_resolutions_offsets(base_res)
+    elif table_layout == "packed":
+        resolutions, offsets = base_res, jnp.zeros_like(base_res)
+    else:
+        raise ValueError(f"Smoothness loss applies to packed layouts, not '{table_layout}'.")
+    levels = resolutions.shape[0]
+
+    def aux_loss(params: Dict[str, Any], key: jax.Array) -> jnp.ndarray:
+        feat_dim = table_feat_dim
+        axis_key, plane_key, pos_key = jax.random.split(key, 3)
+        # per (level, probe): a face axis, an integer face plane of that
+        # level, and a free position on the plane
+        axis = jax.random.randint(axis_key, (levels, num_probes), 0, 3)
+        max_plane = jnp.floor(resolutions * bound).astype(jnp.int32)  # (levels,)
+        u = jax.random.uniform(plane_key, (levels, num_probes))
+        plane = jnp.floor((2.0 * u - 1.0) * max_plane[:, None]).astype(jnp.float32)
+        pos = jax.random.uniform(
+            pos_key, (levels, num_probes, 3), minval=-bound, maxval=bound
+        )
+        # face coordinate: scaled = res*x + off integral -> x = (k - off)/res
+        face_x = (plane - offsets[:, None]) / resolutions[:, None]
+        onehot = jax.nn.one_hot(axis, 3, dtype=pos.dtype)  # (levels, probes, 3)
+        pos = pos * (1.0 - onehot) + face_x[..., None] * onehot
+        eps = (1e-3 / resolutions)[:, None, None] * onehot
+        p_minus = (pos - eps).reshape(-1, 3)
+        p_plus = (pos + eps).reshape(-1, 3)
+
+        both = jnp.concatenate([p_minus, p_plus], axis=0)
+        enc = instant_ngp.hash_encode_packed128(
+            params["tables"], both, resolutions, feat_dim, offsets=offsets
+        )
+        half = p_minus.shape[0]
+        jump = enc[:half] - enc[half:]
+        return jnp.mean(jnp.sum(jump * jump, axis=-1))
+
+    return aux_loss

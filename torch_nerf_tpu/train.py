@@ -235,6 +235,7 @@ def make_ray_train_step(
     settings: RenderSettings,
     optim_cfg: OptimConfig,
     force_generic: bool = False,
+    aux_loss_fn: Optional[Callable[[Dict[str, Any], jax.Array], jnp.ndarray]] = None,
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jnp.ndarray, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Train step over a pre-assembled ray batch (the shardable core).
 
@@ -243,9 +244,15 @@ def make_ray_train_step(
     mesh axis; gradients are averaged by XLA-inserted collectives. Fields
     carrying a ``fused_cfg`` train through the fully-fused Pallas kernel
     (``fused_loss_and_grad``); everything else goes through autodiff.
+
+    ``aux_loss_fn(params, key) -> scalar`` (optional) adds a regularizer to
+    the photometric loss — e.g. the packed-layout face-consistency penalty
+    (``fields_ngp.make_encode_smoothness_loss``). Generic-autodiff path only.
     """
     optimizer = make_optimizer(optim_cfg)
     use_fused = field.fused_cfg is not None and not force_generic
+    if use_fused and aux_loss_fn is not None:
+        raise ValueError("aux_loss_fn requires the generic autodiff path.")
 
     def step_fn(state: TrainState, ray_origin, ray_dir, rgb_gt, key):
         if use_fused:
@@ -254,8 +261,23 @@ def make_ray_train_step(
                 field, state.params, ray_origin, ray_dir, rgb_gt, rand, settings
             )
         else:
+            # RNG stream for the render is unchanged when no aux loss exists
+            # (keeps pre-existing runs/tests bit-identical)
+            if aux_loss_fn is not None:
+                render_key, aux_key = jax.random.split(key)
+            else:
+                render_key, aux_key = key, None
+
             def loss_wrapper(params):
-                return ray_loss_fn(field, params, ray_origin, ray_dir, rgb_gt, key, settings)
+                loss, metrics = ray_loss_fn(
+                    field, params, ray_origin, ray_dir, rgb_gt, render_key, settings
+                )
+                if aux_loss_fn is not None:
+                    aux = aux_loss_fn(params, aux_key)
+                    metrics["aux_loss"] = aux
+                    loss = loss + aux
+                    metrics["loss"] = loss
+                return loss, metrics
 
             (_, metrics), grads = jax.value_and_grad(loss_wrapper, has_aux=True)(state.params)
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
@@ -306,6 +328,7 @@ def make_image_train_step(
     num_pixels: int = 4096,
     precrop: bool = False,
     donate: bool = True,
+    aux_loss_fn: Optional[Callable[[Dict[str, Any], jax.Array], jnp.ndarray]] = None,
 ):
     """Full train step from the on-device image/pose pool.
 
@@ -315,7 +338,7 @@ def make_image_train_step(
     generates rays, and applies the ray train step. Everything is inside one
     jit with the state donated.
     """
-    ray_step = make_ray_train_step(field, settings, optim_cfg)
+    ray_step = make_ray_train_step(field, settings, optim_cfg, aux_loss_fn=aux_loss_fn)
     num_total = camera.img_height * camera.img_width
     crop = precrop_pixel_indices(camera.img_height, camera.img_width) if precrop else None
     if crop is not None:
