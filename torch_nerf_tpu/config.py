@@ -82,9 +82,17 @@ class NetworkConfig:
 
 @dataclasses.dataclass
 class ObjectiveConfig:
-    """Mirrors ``configs/objective/nerf.yaml``."""
+    """Mirrors ``configs/objective/nerf.yaml``.
+
+    The smoothness knobs have no reference counterpart: they weight the
+    voxel-face consistency penalty of the packed hash-grid layouts
+    (``fields_ngp.make_encode_smoothness_loss``); 0 disables it (and is
+    required for the reference-parity "hash" layout).
+    """
 
     loss_type: str = "nerf_default"  # MSE photometric
+    encode_smoothness_weight: float = 0.0
+    encode_smoothness_probes: int = 1024
 
 
 @dataclasses.dataclass

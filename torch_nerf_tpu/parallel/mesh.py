@@ -341,6 +341,7 @@ def make_sharded_image_train_step(
     precrop: bool = False,
     data_axis: str = "data",
     model_axis: Optional[str] = None,
+    aux_loss_fn=None,
 ):
     """Data-parallel version of ``train.make_image_train_step``.
 
@@ -355,10 +356,16 @@ def make_sharded_image_train_step(
     the built step has signature ``step(state, images (B, H*W, 3),
     poses (B, 4, 4), key)``.
     """
-    if field.fused_cfg is not None and model_axis is None:
+    if field.fused_cfg is not None and model_axis is None and aux_loss_fn is None:
         ray_step = _make_fused_dp_ray_step(field, settings, optim_cfg, mesh, data_axis)
     else:
-        ray_step = make_ray_train_step(field, settings, optim_cfg, force_generic=True)
+        # aux losses (e.g. the packed-layout face-consistency penalty) are
+        # pure functions of the REPLICATED params + a replicated key: every
+        # chip computes the identical term, so grads stay consistent without
+        # extra collectives
+        ray_step = make_ray_train_step(
+            field, settings, optim_cfg, force_generic=True, aux_loss_fn=aux_loss_fn
+        )
     num_total = camera.img_height * camera.img_width
     crop = precrop_pixel_indices(camera.img_height, camera.img_width) if precrop else None
     if crop is not None:

@@ -74,6 +74,7 @@ def main(argv=None) -> None:
     settings = session.build_render_settings(cfg, dataset)
     field = session.build_field(cfg)
     optim_cfg = session.build_optim_config(cfg)
+    aux_loss_fn = session.build_aux_loss(cfg)
 
     state = train.create_train_state(
         jax.random.PRNGKey(cfg.seed), field, settings, optim_cfg
@@ -111,6 +112,7 @@ def main(argv=None) -> None:
             build, place_state = make_sharded_image_train_step(
                 field, settings, optim_cfg, camera, mesh,
                 num_pixels=cfg.renderer.num_pixels, precrop=precrop,
+                aux_loss_fn=aux_loss_fn,
             )
             return build, place_state
 
@@ -121,10 +123,12 @@ def main(argv=None) -> None:
         step_full = build_full(state)
     else:
         step_precrop = train.make_image_train_step(
-            field, settings, optim_cfg, camera, cfg.renderer.num_pixels, precrop=True
+            field, settings, optim_cfg, camera, cfg.renderer.num_pixels,
+            precrop=True, aux_loss_fn=aux_loss_fn,
         )
         step_full = train.make_image_train_step(
-            field, settings, optim_cfg, camera, cfg.renderer.num_pixels, precrop=False
+            field, settings, optim_cfg, camera, cfg.renderer.num_pixels,
+            precrop=False, aux_loss_fn=aux_loss_fn,
         )
 
     logger = MetricsLogger(log_dir)

@@ -143,6 +143,42 @@ def build_field(cfg: cfg_mod.ExperimentConfig) -> Field:
     raise ValueError(f"Unsupported network type '{net.type}'.")
 
 
+def build_aux_loss(cfg: cfg_mod.ExperimentConfig):
+    """Optional regularizer from the objective group: the packed-layout
+    voxel-face consistency penalty (``objective.encode_smoothness_weight``).
+    Returns ``aux(params, key) -> scalar`` or None."""
+    w = cfg.objective.encode_smoothness_weight
+    if w <= 0.0:
+        return None
+    net = cfg.network
+    if net.type != "instant_nerf" or net.table_layout == "hash":
+        raise ValueError(
+            "encode_smoothness_weight applies to the packed instant-NGP "
+            f"layouts; got network.type='{net.type}', "
+            f"table_layout='{net.table_layout}'."
+        )
+    from torch_nerf_tpu.fields_ngp import make_encode_smoothness_loss  # noqa: PLC0415
+
+    raw = make_encode_smoothness_loss(
+        net.num_level,
+        min_res=net.min_res,
+        max_res=net.max_res,
+        table_feat_dim=net.table_feat_dim,
+        table_layout=net.table_layout,
+        num_probes=cfg.objective.encode_smoothness_probes,
+    )
+
+    def aux(params, key):
+        import jax  # noqa: PLC0415
+
+        total = w * raw(params["coarse"], key)
+        if "fine" in params:
+            total = total + w * raw(params["fine"], jax.random.fold_in(key, 1))
+        return total
+
+    return aux
+
+
 def build_optim_config(cfg: cfg_mod.ExperimentConfig) -> OptimConfig:
     o = cfg.train_params.optim
     if o.optim_type != "adam" or o.scheduler_type != "exp":
