@@ -39,6 +39,7 @@ Two table layouts:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Tuple
 
 import jax
@@ -235,7 +236,11 @@ def hash_encode_packed128(
         use_kernel=use_kernel,
         interpret=interpret,
         tile=tile,
-        group=min(4, num_level),
+        # group=8: one level per accumulator ref — consecutive RMWs in the
+        # scatter loop are 8 apart, clearing the add latency chain (measured
+        # 2.3 ms/step faster than group=4 at the L4F8-dual operating point)
+        group=min(int(os.environ.get("TNT_FOLD_GROUP", "8")), num_level),
+        bwd_unroll=int(os.environ.get("TNT_FOLD_BWD_UNROLL", "4")),
         # bf16 lane-placement matmuls only on the real-TPU path; interpreter
         # runs (tests) keep f32 so parity against packed_prep math is exact
         place_bf16=not interpret,

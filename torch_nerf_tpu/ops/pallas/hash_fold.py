@@ -68,6 +68,7 @@ class FoldCfg(NamedTuple):
     interpret: bool
     tile: int  # points per grid step
     group: int = 4  # backward accumulator interleave factor
+    bwd_unroll: int = 4  # backward scalar-loop unroll (points per iteration)
     # placement/extraction matmul dtype on the MXU. The 16 (tile,128)x(128,
     # 128) lane-placement matmuls per tile cost ~11 ms/step in f32 at the
     # reference operating point but ~1.4 ms in bf16 (exact 0/1 matrices; the
@@ -311,7 +312,7 @@ def _bwd_kernel(res_ref, idx_ref, coords_ref, g_ref, *rest, cfg: FoldCfg):
 
     jax.lax.fori_loop(0, cfg.num_level, vals_body, 0)
 
-    unroll = 4 if tile % 4 == 0 else 1
+    unroll = cfg.bwd_unroll if tile % cfg.bwd_unroll == 0 else 1
     num_level = cfg.num_level
 
     def body(j, carry):
@@ -409,26 +410,29 @@ def _res_off(resolutions, offsets):
 def _encode_fwd(cfg: FoldCfg, tables, coords, resolutions, offsets):
     num_level, t_fold, _ = tables.shape
     if cfg.use_kernel:
-        idx_fwd, _ = prep_indices(coords, resolutions, offsets, cfg)
+        idx_fwd, idx_bwd = prep_indices(coords, resolutions, offsets, cfg)
         out = _fwd_pallas(
             tables.reshape(num_level * t_fold, LANES),
             idx_fwd, coords, _res_off(resolutions, offsets), cfg,
         )
     else:
+        idx_bwd = None
         out = _fwd_xla(
             tables.reshape(num_level * t_fold, LANES), coords, resolutions, offsets, cfg
         )
-    # indices are recomputed in the backward: holding the tile-major int
-    # streams across fwd->bwd costs more HBM residency than the (L, N) int
-    # rebuild (same trade as round-1's save_prep=False for weight lines)
-    return out, (tables.shape, coords, resolutions, offsets)
+    # the backward's tile-major scatter indices are SAVED (int32, L*N ~ 34 MB
+    # at the production operating point) — round 1 recomputed them to avoid
+    # holding the far larger (L, N, 128) weight-line stream; with weights now
+    # built in-kernel the only residual stream is this index array, and
+    # reusing it removes the backward's whole XLA hash-chain + tile-major
+    # transpose rebuild from the step's critical path
+    return out, (tables.shape, coords, resolutions, offsets, idx_bwd)
 
 
 def _encode_bwd(cfg: FoldCfg, residuals, g):
-    (num_level, t_fold, _), coords, resolutions, offsets = residuals
+    (num_level, t_fold, _), coords, resolutions, offsets, idx_bwd = residuals
     g128 = g.astype(jnp.float32)
     if cfg.use_kernel:
-        _, idx_bwd = prep_indices(coords, resolutions, offsets, cfg)
         dtables = _bwd_pallas(
             g128, idx_bwd, coords, _res_off(resolutions, offsets), t_fold, cfg
         )
