@@ -24,7 +24,12 @@ import numpy as np
 REFERENCE_RAYS_PER_SEC = 10.0 * 4096.0
 
 
-def main(model: str = "nerf", layout: str | None = None) -> None:
+def main(
+    model: str = "nerf",
+    layout: str | None = None,
+    use_occupancy: bool = True,
+    keep: int | None = None,
+) -> None:
     from torch_nerf_tpu import train
     from torch_nerf_tpu.datasets import synthetic
     from torch_nerf_tpu.fields import make_nerf_field
@@ -60,11 +65,25 @@ def main(model: str = "nerf", layout: str | None = None) -> None:
             table_layout=net.table_layout,
         )
         optim = train.OptimConfig(num_iter=300_000, init_lr=1e-2, end_lr=1e-3, eps=1e-15)
+        # production path: occupancy-grid pruning keeps 128 of the 256
+        # stratified candidates per ray (static shapes — the step cost is
+        # content-independent; the grid only decides WHICH samples survive).
+        # Includes the every-16-step density-grid refresh sweep honestly.
+        occ_cfg = None
+        if use_occupancy:
+            from torch_nerf_tpu import occupancy as occ_mod
+
+            occ_cfg = occ_mod.OccupancyConfig(
+                **({"keep_samples": keep} if keep else {})
+            )
         unit = (
-            f"rays/s (fwd+bwd, 256 samples, instant-NGP {net.table_layout} "
+            f"rays/s (fwd+bwd, 256 samples"
+            + (f" pruned to {occ_cfg.keep_samples} by occupancy grid" if occ_cfg else "")
+            + f", instant-NGP {net.table_layout} "
             f"L{net.num_level}F{net.table_feat_dim} hash grid)"
         )
     else:
+        occ_cfg = None
         settings = RenderSettings(
             num_samples_coarse=64, num_samples_fine=128, t_near=2.0, t_far=6.0
         )
@@ -81,22 +100,36 @@ def main(model: str = "nerf", layout: str | None = None) -> None:
 
     state = train.create_train_state(jax.random.PRNGKey(0), field, settings, optim)
     step = train.make_image_train_step(
-        field, settings, optim, camera, num_pixels=num_pixels, donate=True
+        field, settings, optim, camera, num_pixels=num_pixels, donate=True,
+        occupancy_cfg=occ_cfg,
     )
+    if occ_cfg is not None:
+        from torch_nerf_tpu import occupancy as occ_mod
+
+        grid = occ_mod.init_grid(occ_cfg)
+
+        def run_step(state, sub):
+            nonlocal grid
+            state, grid, metrics = step(state, grid, images_j, poses_j, sub)
+            return state, metrics
+    else:
+
+        def run_step(state, sub):
+            return step(state, images_j, poses_j, sub)
 
     key = jax.random.PRNGKey(1)
 
     # warmup/compile
     for _ in range(3):
         key, sub = jax.random.split(key)
-        state, metrics = step(state, images_j, poses_j, sub)
+        state, metrics = run_step(state, sub)
     jax.block_until_ready(metrics["loss"])
 
     iters = 50 if jax.default_backend() != "cpu" else 5
     start = time.perf_counter()
     for _ in range(iters):
         key, sub = jax.random.split(key)
-        state, metrics = step(state, images_j, poses_j, sub)
+        state, metrics = run_step(state, sub)
     jax.block_until_ready(metrics["loss"])
     elapsed = time.perf_counter() - start
 
@@ -119,4 +152,8 @@ if __name__ == "__main__":
     main(
         "instant_nerf" if "--model=instant_nerf" in sys.argv[1:] else "nerf",
         next((a.split("=")[1] for a in sys.argv[1:] if a.startswith("--layout=")), None),
+        use_occupancy="--no-occupancy" not in sys.argv[1:],
+        keep=next(
+            (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--keep=")), None
+        ),
     )

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries, decay=0.0, smooth=0.0):
+def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries, decay=0.0, smooth=0.0, occ_keep=0):
     from torch_nerf_tpu import metrics, train
     from torch_nerf_tpu.fields_ngp import (
         make_encode_smoothness_loss,
@@ -62,15 +62,28 @@ def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries, de
         )
         aux = lambda params, key: smooth * raw(params["coarse"], key)  # noqa: E731
     state = train.create_train_state(jax.random.PRNGKey(0), field, settings, optim)
+    occ_cfg = None
+    if occ_keep:
+        # occupancy-grid pruning (occupancy.py): 128 candidates -> occ_keep
+        from torch_nerf_tpu import occupancy as occ_mod
+
+        occ_cfg = occ_mod.OccupancyConfig(keep_samples=occ_keep)
     step = train.make_image_train_step(
-        field, settings, optim, camera, num_pixels=1024, donate=True, aux_loss_fn=aux
+        field, settings, optim, camera, num_pixels=1024, donate=True,
+        aux_loss_fn=aux, occupancy_cfg=occ_cfg,
     )
 
     key = jax.random.PRNGKey(1)
     start = time.perf_counter()
-    for _ in range(steps):
-        key, sub = jax.random.split(key)
-        state, m = step(state, images, poses, sub)
+    if occ_cfg is not None:
+        grid = occ_mod.init_grid(occ_cfg)
+        for _ in range(steps):
+            key, sub = jax.random.split(key)
+            state, grid, m = step(state, grid, images, poses, sub)
+    else:
+        for _ in range(steps):
+            key, sub = jax.random.split(key)
+            state, m = step(state, images, poses, sub)
     jax.block_until_ready(m["loss"])
     train_s = time.perf_counter() - start
 
@@ -84,7 +97,11 @@ def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries, de
         gt = np.asarray(val_images[i]).reshape(val_camera.img_height, val_camera.img_width, 3)
         psnrs.append(metrics.psnr(np.asarray(img), gt))
     grids = 2 if layout == "packed_dual" else 1
-    tag = ("" if decay == 0.0 else f"_wd{decay:g}") + ("" if smooth == 0.0 else f"_sm{smooth:g}")
+    tag = (
+        ("" if decay == 0.0 else f"_wd{decay:g}")
+        + ("" if smooth == 0.0 else f"_sm{smooth:g}")
+        + ("" if not occ_keep else f"_occ{occ_keep}")
+    )
     out = {
         "variant": name + tag,
         "layout": layout,
@@ -133,6 +150,7 @@ def main():
     steps = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--steps=")), 3000))
     decay = float(next((a.split("=")[1] for a in sys.argv if a.startswith("--decay=")), 0.0))
     smooth = float(next((a.split("=")[1] for a in sys.argv if a.startswith("--smooth=")), 0.0))
+    occ_keep = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--occupancy=")), 0))
     picks = [a for a in sys.argv[1:] if not a.startswith("--")]
     if not picks:
         picks = list(VARIANTS)
@@ -155,7 +173,7 @@ def main():
         results.append(
             run_variant(
                 n, lay, l, f, int(per_steps or steps), data,
-                log2_entries=log2, decay=decay, smooth=smooth,
+                log2_entries=log2, decay=decay, smooth=smooth, occ_keep=occ_keep,
             )
         )
 

@@ -152,6 +152,28 @@ class RendererConfig:
 
 
 @dataclasses.dataclass
+class OccupancySection:
+    """Occupancy-grid sample pruning (``torch_nerf_tpu/occupancy.py``).
+
+    No reference counterpart (the reference's sampler is purely stratified,
+    ``ray_samplers/stratified_sampler.py:92-109``); this is the Instant-NGP
+    empty-space-skipping acceleration re-designed for XLA static shapes.
+    Single-pass (num_samples_fine=0) models only. ``keep_samples`` is the
+    static per-ray budget after pruning — the compute knob; disabled by
+    default so reference-faithful runs are untouched.
+    """
+
+    enabled: bool = False
+    resolution: int = 64
+    bound: float = 4.0
+    update_every: int = 16
+    decay: float = 0.95
+    threshold: float = 1e-2
+    keep_samples: int = 128
+    warmup_steps: int = 512
+
+
+@dataclasses.dataclass
 class SignalEncoderConfig:
     """Mirrors ``configs/signal_encoder/positional_encoding.yaml`` / ``spherical_harmonics.yaml``."""
 
@@ -182,6 +204,7 @@ class ExperimentConfig:
     scene: SceneConfig = dataclasses.field(default_factory=SceneConfig)
     renderer: RendererConfig = dataclasses.field(default_factory=RendererConfig)
     signal_encoder: SignalEncoderConfig = dataclasses.field(default_factory=SignalEncoderConfig)
+    occupancy: OccupancySection = dataclasses.field(default_factory=OccupancySection)
     parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
     log_dir: Optional[str] = None
     seed: int = 0
@@ -216,6 +239,10 @@ def instant_nerf_tpu_config() -> ExperimentConfig:
     cfg.network.table_feat_dim = 8
     # 2 grids x 4 levels x 2^18 corner-feature slots x 8 feats = 16.8M params
     cfg.network.log_max_entry_per_level = 18
+    # occupancy pruning: 256 candidates -> 128 rendered samples/ray (the
+    # encode is scalar-issue-bound, so gathered rows ~ throughput;
+    # BENCH_NGP_r03.json)
+    cfg.occupancy.enabled = True
     return cfg
 
 

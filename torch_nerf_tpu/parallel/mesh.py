@@ -342,6 +342,7 @@ def make_sharded_image_train_step(
     data_axis: str = "data",
     model_axis: Optional[str] = None,
     aux_loss_fn=None,
+    occupancy_cfg=None,
 ):
     """Data-parallel version of ``train.make_image_train_step``.
 
@@ -354,7 +355,12 @@ def make_sharded_image_train_step(
 
     Returns ``(build, place_state)`` like :func:`make_sharded_train_step`;
     the built step has signature ``step(state, images (B, H*W, 3),
-    poses (B, 4, 4), key)``.
+    poses (B, 4, 4), key)`` — or ``step(state, grid, images, poses, key) ->
+    (state, grid, metrics)`` with ``occupancy_cfg`` (``occupancy.py``): the
+    grid stays REPLICATED (it is tiny and read per-ray), each chip prunes its
+    own ray shard locally, and the periodic density sweep runs under the same
+    sharding annotations so its cell batch partitions like any other point
+    batch.
     """
     if field.fused_cfg is not None and model_axis is None and aux_loss_fn is None:
         ray_step = _make_fused_dp_ray_step(field, settings, optim_cfg, mesh, data_axis)
@@ -364,7 +370,8 @@ def make_sharded_image_train_step(
         # chip computes the identical term, so grads stay consistent without
         # extra collectives
         ray_step = make_ray_train_step(
-            field, settings, optim_cfg, force_generic=True, aux_loss_fn=aux_loss_fn
+            field, settings, optim_cfg, force_generic=True,
+            aux_loss_fn=aux_loss_fn, occupancy_cfg=occupancy_cfg,
         )
     num_total = camera.img_height * camera.img_width
     crop = precrop_pixel_indices(camera.img_height, camera.img_width) if precrop else None
@@ -382,7 +389,7 @@ def make_sharded_image_train_step(
     def place_state(state: TrainState) -> TrainState:
         return replicate_state(mesh, state, model_axis)
 
-    def step_fn(state: TrainState, images, poses, key):
+    def make_ray_batch(images, poses, key):
         img_key, pix_key, render_key = jax.random.split(key, 3)
         img_idx = jax.random.randint(img_key, (), 0, images.shape[0])
         pose = poses[img_idx]
@@ -406,6 +413,28 @@ def make_sharded_image_train_step(
         ray_o = jax.lax.with_sharding_constraint(ray_o, ray_sharding)
         ray_d = jax.lax.with_sharding_constraint(ray_d, ray_sharding)
         rgb_gt = jax.lax.with_sharding_constraint(rgb_gt, ray_sharding)
+        return ray_o, ray_d, rgb_gt, render_key
+
+    if occupancy_cfg is not None:
+
+        def occ_step_fn(state: TrainState, grid, images, poses, key):
+            ray_o, ray_d, rgb_gt, render_key = make_ray_batch(images, poses, key)
+            grid = jax.lax.with_sharding_constraint(grid, replicated)
+            return ray_step(state, grid, ray_o, ray_d, rgb_gt, render_key)
+
+        def build(state: TrainState):
+            state_sh = _state_shardings(mesh, state, model_axis)
+            return jax.jit(
+                occ_step_fn,
+                in_shardings=(state_sh, replicated, replicated, replicated, replicated),
+                out_shardings=(state_sh, replicated, None),
+                donate_argnums=(0, 1),
+            )
+
+        return build, place_state
+
+    def step_fn(state: TrainState, images, poses, key):
+        ray_o, ray_d, rgb_gt, render_key = make_ray_batch(images, poses, key)
         return ray_step(state, ray_o, ray_d, rgb_gt, render_key)
 
     def build(state: TrainState):

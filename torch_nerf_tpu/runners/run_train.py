@@ -75,6 +75,7 @@ def main(argv=None) -> None:
     field = session.build_field(cfg)
     optim_cfg = session.build_optim_config(cfg)
     aux_loss_fn = session.build_aux_loss(cfg)
+    occ_cfg = session.build_occupancy_cfg(cfg)
 
     state = train.create_train_state(
         jax.random.PRNGKey(cfg.seed), field, settings, optim_cfg
@@ -83,6 +84,21 @@ def main(argv=None) -> None:
     if restored is not None:
         state = restored
         print(f"Resumed from step {int(state.step)}.")
+
+    occ_grid = None
+    if occ_cfg is not None:
+        from torch_nerf_tpu import occupancy as occ_mod
+
+        occ_grid = occ_mod.init_grid(occ_cfg)
+        if restored is not None and int(state.step) > 0:
+            # the grid is derived state (not checkpointed): rebuild it from
+            # the restored field immediately so a resume past warmup_steps
+            # never prunes against an empty grid
+            occ_grid = jax.jit(
+                lambda g, p, k: occ_mod.update_grid(
+                    g, occ_mod.make_density_fn(field), p, k, occ_cfg
+                )
+            )(occ_grid, state.params, jax.random.PRNGKey(cfg.seed + 2))
 
     camera = dataset.camera
     images_j = jnp.asarray(dataset.flat_images())
@@ -112,7 +128,7 @@ def main(argv=None) -> None:
             build, place_state = make_sharded_image_train_step(
                 field, settings, optim_cfg, camera, mesh,
                 num_pixels=cfg.renderer.num_pixels, precrop=precrop,
-                aux_loss_fn=aux_loss_fn,
+                aux_loss_fn=aux_loss_fn, occupancy_cfg=occ_cfg,
             )
             return build, place_state
 
@@ -124,11 +140,11 @@ def main(argv=None) -> None:
     else:
         step_precrop = train.make_image_train_step(
             field, settings, optim_cfg, camera, cfg.renderer.num_pixels,
-            precrop=True, aux_loss_fn=aux_loss_fn,
+            precrop=True, aux_loss_fn=aux_loss_fn, occupancy_cfg=occ_cfg,
         )
         step_full = train.make_image_train_step(
             field, settings, optim_cfg, camera, cfg.renderer.num_pixels,
-            precrop=False, aux_loss_fn=aux_loss_fn,
+            precrop=False, aux_loss_fn=aux_loss_fn, occupancy_cfg=occ_cfg,
         )
 
     logger = MetricsLogger(log_dir)
@@ -163,7 +179,10 @@ def main(argv=None) -> None:
         epoch = step_idx // steps_per_epoch
         key, sub = jax.random.split(key)
         step_fn = step_precrop if epoch < 10 else step_full
-        state, metrics = step_fn(state, images_j, poses_j, sub)
+        if occ_grid is not None:
+            state, occ_grid, metrics = step_fn(state, occ_grid, images_j, poses_j, sub)
+        else:
+            state, metrics = step_fn(state, images_j, poses_j, sub)
         if step_idx + 1 == profile_stop:
             jax.block_until_ready(metrics["loss"])
             jax.profiler.stop_trace()

@@ -201,6 +201,30 @@ def build_optim_config(cfg: cfg_mod.ExperimentConfig) -> OptimConfig:
     )
 
 
+def build_occupancy_cfg(cfg: cfg_mod.ExperimentConfig):
+    """Occupancy-pruning config, or None when disabled (``occupancy.py``)."""
+    o = cfg.occupancy
+    if not o.enabled:
+        return None
+    if cfg.renderer.num_samples_fine > 0:
+        raise ValueError(
+            "occupancy.enabled requires a single-pass model "
+            "(renderer.num_samples_fine=0); the hierarchical fine pass "
+            "already importance-samples via the coarse weights."
+        )
+    from torch_nerf_tpu.occupancy import OccupancyConfig  # noqa: PLC0415
+
+    return OccupancyConfig(
+        resolution=o.resolution,
+        bound=o.bound,
+        update_every=o.update_every,
+        decay=o.decay,
+        threshold=o.threshold,
+        keep_samples=min(o.keep_samples, cfg.renderer.num_samples_coarse),
+        warmup_steps=o.warmup_steps,
+    )
+
+
 def estimate_flops_per_step(cfg: cfg_mod.ExperimentConfig) -> float:
     """Approximate train-step FLOPs (fwd + bwd ~= 3x fwd) for MFU logging.
 

@@ -26,8 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from torch_nerf_tpu import cameras
+from torch_nerf_tpu import cameras, occupancy
 from torch_nerf_tpu.fields import Field
+from torch_nerf_tpu.ops import integration, sampling
 from torch_nerf_tpu.renderer import RenderSettings, render_rays
 
 
@@ -230,13 +231,49 @@ def fused_loss_and_grad(
     return metrics, grads
 
 
+def pruned_ray_loss_fn(
+    field: Field,
+    params: Dict[str, Any],
+    grid: jnp.ndarray,
+    occ_cfg: "occupancy.OccupancyConfig",
+    ray_origin: jnp.ndarray,
+    ray_dir: jnp.ndarray,
+    rgb_gt: jnp.ndarray,
+    key: jax.Array,
+    settings: RenderSettings,
+    step: jnp.ndarray,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Photometric loss with occupancy-pruned sampling (single-pass models).
+
+    Draws the reference's ``num_samples_coarse`` stratified candidates
+    (``stratified_sampler.py:92-109`` semantics), keeps the static
+    ``occ_cfg.keep_samples`` occupied ones (``occupancy.prune_t_samples``),
+    and composites them against the dense interval lengths — identical to
+    the dense quadrature whenever the pruned samples carry zero density.
+    """
+    num_rays = ray_origin.shape[0]
+    t_dense = sampling.stratified_t_samples(
+        key, num_rays, settings.t_near, settings.t_far, settings.num_samples_coarse
+    )
+    t_sel, delta_sel = occupancy.prune_t_samples(
+        grid, occ_cfg, ray_origin, ray_dir, t_dense, step
+    )
+    pts = sampling.points_along_rays(ray_origin, ray_dir, t_sel)
+    dirs = jnp.broadcast_to(ray_dir[:, None, :], pts.shape)
+    sigma, radiance = field.apply(params["coarse"], pts, dirs)
+    rgb, _ = integration.composite(sigma, radiance, delta_sel)
+    loss = jnp.mean((rgb - rgb_gt) ** 2)
+    return loss, {"coarse_loss": loss, "loss": loss}
+
+
 def make_ray_train_step(
     field: Field,
     settings: RenderSettings,
     optim_cfg: OptimConfig,
     force_generic: bool = False,
     aux_loss_fn: Optional[Callable[[Dict[str, Any], jax.Array], jnp.ndarray]] = None,
-) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jnp.ndarray, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    occupancy_cfg: Optional["occupancy.OccupancyConfig"] = None,
+) -> Callable[..., Tuple]:
     """Train step over a pre-assembled ray batch (the shardable core).
 
     ``step(state, ray_origin (N,3), ray_dir (N,3), rgb_gt (N,3), key)``.
@@ -248,11 +285,58 @@ def make_ray_train_step(
     ``aux_loss_fn(params, key) -> scalar`` (optional) adds a regularizer to
     the photometric loss — e.g. the packed-layout face-consistency penalty
     (``fields_ngp.make_encode_smoothness_loss``). Generic-autodiff path only.
+
+    ``occupancy_cfg`` (optional, single-pass models only) enables
+    occupancy-grid sample pruning (``occupancy.py``): the step becomes
+    ``step(state, grid, ray_origin, ray_dir, rgb_gt, key) ->
+    (state, grid, metrics)`` — it refreshes the density grid every
+    ``update_every`` steps and renders only the static ``keep_samples``
+    occupied candidates per ray.
     """
     optimizer = make_optimizer(optim_cfg)
     use_fused = field.fused_cfg is not None and not force_generic
     if use_fused and aux_loss_fn is not None:
         raise ValueError("aux_loss_fn requires the generic autodiff path.")
+    if occupancy_cfg is not None:
+        if settings.hierarchical:
+            raise ValueError(
+                "Occupancy pruning supports single-pass (non-hierarchical) "
+                "rendering only; the hierarchical fine pass already "
+                "importance-samples via the coarse weights."
+            )
+        if occupancy_cfg.keep_samples > settings.num_samples_coarse:
+            raise ValueError("keep_samples must be <= num_samples_coarse.")
+        density_fn = occupancy.make_density_fn(field)
+
+        def occ_step_fn(state: TrainState, grid, ray_origin, ray_dir, rgb_gt, key):
+            occ_key, render_key, aux_key = jax.random.split(key, 3)
+            grid = occupancy.maybe_update_grid(
+                grid, density_fn, state.params, occ_key, state.step, occupancy_cfg
+            )
+
+            def loss_wrapper(params):
+                loss, metrics = pruned_ray_loss_fn(
+                    field, params, grid, occupancy_cfg, ray_origin, ray_dir,
+                    rgb_gt, render_key, settings, state.step,
+                )
+                if aux_loss_fn is not None:
+                    aux = aux_loss_fn(params, aux_key)
+                    metrics["aux_loss"] = aux
+                    loss = loss + aux
+                    metrics["loss"] = loss
+                return loss, metrics
+
+            (_, metrics), grads = jax.value_and_grad(loss_wrapper, has_aux=True)(
+                state.params
+            )
+            updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                step=state.step + 1, params=new_params, opt_state=new_opt_state
+            )
+            return new_state, grid, metrics
+
+        return occ_step_fn
 
     def step_fn(state: TrainState, ray_origin, ray_dir, rgb_gt, key):
         if use_fused:
@@ -329,6 +413,7 @@ def make_image_train_step(
     precrop: bool = False,
     donate: bool = True,
     aux_loss_fn: Optional[Callable[[Dict[str, Any], jax.Array], jnp.ndarray]] = None,
+    occupancy_cfg: Optional["occupancy.OccupancyConfig"] = None,
 ):
     """Full train step from the on-device image/pose pool.
 
@@ -337,8 +422,13 @@ def make_image_train_step(
     ``precrop``, the epoch<10 trick of ``runners/train.py:150-169``),
     generates rays, and applies the ray train step. Everything is inside one
     jit with the state donated.
+
+    With ``occupancy_cfg`` the occupancy grid threads through:
+    ``step(state, grid, images, poses, key) -> (state, grid, metrics)``.
     """
-    ray_step = make_ray_train_step(field, settings, optim_cfg, aux_loss_fn=aux_loss_fn)
+    ray_step = make_ray_train_step(
+        field, settings, optim_cfg, aux_loss_fn=aux_loss_fn, occupancy_cfg=occupancy_cfg
+    )
     num_total = camera.img_height * camera.img_width
     crop = precrop_pixel_indices(camera.img_height, camera.img_width) if precrop else None
     if crop is not None:
@@ -346,7 +436,7 @@ def make_image_train_step(
         # size (runners/train.py:166-168); small images train on fewer rays
         num_pixels = min(num_pixels, crop.shape[0])
 
-    def step_fn(state: TrainState, images, poses, key):
+    def make_ray_batch(images, poses, key):
         img_key, pix_key, render_key = jax.random.split(key, 3)
         img_idx = jax.random.randint(img_key, (), 0, images.shape[0])
         pose = poses[img_idx]
@@ -365,7 +455,19 @@ def make_image_train_step(
             use_ndc=settings.project_to_ndc,
             ndc_z_near=settings.ndc_z_near,
         )
-        rgb_gt = image[pixel_idx]
+        return ray_o, ray_d, image[pixel_idx], render_key
+
+    if occupancy_cfg is not None:
+
+        def occ_step_fn(state: TrainState, grid, images, poses, key):
+            ray_o, ray_d, rgb_gt, render_key = make_ray_batch(images, poses, key)
+            return ray_step(state, grid, ray_o, ray_d, rgb_gt, render_key)
+
+        donate_argnums = (0, 1) if donate else ()
+        return jax.jit(occ_step_fn, donate_argnums=donate_argnums)
+
+    def step_fn(state: TrainState, images, poses, key):
+        ray_o, ray_d, rgb_gt, render_key = make_ray_batch(images, poses, key)
         return ray_step(state, ray_o, ray_d, rgb_gt, render_key)
 
     donate_argnums = (0,) if donate else ()
