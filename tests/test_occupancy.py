@@ -223,6 +223,43 @@ class TestPrunedTraining:
             atol=1e-6,
         )
 
+    def test_dp_occupancy_with_fused_capable_field_traces(self):
+        """Regression (ADVICE r3): a fused-capable field + occupancy on a
+        multi-device mesh must fall through to the generic path — the fused
+        DP ray step cannot thread the grid, and selecting it raised a
+        TypeError at jit trace (6 args into a 5-arg step)."""
+        from torch_nerf_tpu.datasets import synthetic
+        from torch_nerf_tpu.fields import make_nerf_field
+        from torch_nerf_tpu.parallel import make_mesh, make_sharded_image_train_step
+
+        images, poses, camera, _ = synthetic.make_dataset(num_views=2, img_size=16)
+        field = make_nerf_field(
+            coord_encode_level=2, dir_encode_level=1, feat_dim=32,
+            use_pallas=True, pallas_interpret=True,
+        )
+        assert field.fused_cfg is not None
+        settings = RenderSettings(
+            num_samples_coarse=16, num_samples_fine=0, t_near=2.0, t_far=6.0
+        )
+        optim = train.OptimConfig(num_iter=100)
+        occ_cfg = occupancy.OccupancyConfig(
+            resolution=4, update_every=4, keep_samples=8, warmup_steps=1
+        )
+        state = train.create_train_state(jax.random.PRNGKey(0), field, settings, optim)
+        mesh = make_mesh(("data",))
+        build, place_state = make_sharded_image_train_step(
+            field, settings, optim, camera, mesh, num_pixels=64,
+            occupancy_cfg=occ_cfg,
+        )
+        sharded = place_state(state)
+        step = build(sharded)
+        new_state, new_grid, metrics = step(
+            sharded, occupancy.init_grid(occ_cfg),
+            jnp.asarray(images), jnp.asarray(poses), jax.random.PRNGKey(3),
+        )
+        assert int(new_state.step) == 1
+        assert np.isfinite(float(metrics["loss"]))
+
     def test_rejects_hierarchical(self):
         from torch_nerf_tpu.fields import make_nerf_field
 

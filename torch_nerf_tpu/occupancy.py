@@ -30,7 +30,16 @@ TPU-native capability), re-designed for XLA's static-shape model:
   sentinel on the last): when every pruned sample has zero density this
   reproduces the dense quadrature EXACTLY — transmittance through empty
   intervals is 1 — so pruning error is bounded by ``threshold`` alone
-  (test: ``tests/test_occupancy.py``).
+  (test: ``tests/test_occupancy.py``). That bound holds only when the
+  occupied count is <= K. In the OVER-budget regime (always during warmup,
+  where every sample counts as occupied) the kept samples are an even
+  subsample of the occupied ones, still compositing with the dense deltas:
+  dropped occupied samples may carry real density, so optical depth is
+  systematically undercounted (at 2:1 the effective spacing is halved).
+  This is the standard stochastic-subsample trade: it keeps warmup cost
+  equal to steady-state cost, and the even spacing makes the subsample an
+  unbiased coverage of the ray (the measured PSNR effect is positive —
+  NGP_QUALITY.json `_occ64`).
 
 Because ``K`` is static, the step's cost is content-independent: pruning
 256 -> 128 samples halves the encode's gathered rows on every step from step

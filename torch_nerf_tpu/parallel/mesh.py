@@ -362,7 +362,16 @@ def make_sharded_image_train_step(
     sharding annotations so its cell batch partitions like any other point
     batch.
     """
-    if field.fused_cfg is not None and model_axis is None and aux_loss_fn is None:
+    # occupancy pruning must fall through to the generic path: the fused DP
+    # ray step is a 5-arg (state, rays...) function and cannot thread the
+    # grid (matches single-device make_ray_train_step, where the occupancy
+    # check precedes the fused-kernel branch)
+    if (
+        field.fused_cfg is not None
+        and model_axis is None
+        and aux_loss_fn is None
+        and occupancy_cfg is None
+    ):
         ray_step = _make_fused_dp_ray_step(field, settings, optim_cfg, mesh, data_axis)
     else:
         # aux losses (e.g. the packed-layout face-consistency penalty) are

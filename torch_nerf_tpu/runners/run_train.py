@@ -93,12 +93,19 @@ def main(argv=None) -> None:
         if restored is not None and int(state.step) > 0:
             # the grid is derived state (not checkpointed): rebuild it from
             # the restored field immediately so a resume past warmup_steps
-            # never prunes against an empty grid
-            occ_grid = jax.jit(
+            # never prunes against an empty grid. Several sweeps with
+            # distinct jitter keys approximate the EMA-max steady state —
+            # one draw per cell can miss thin features and prune them for
+            # up to update_every steps after resume.
+            rebuild = jax.jit(
                 lambda g, p, k: occ_mod.update_grid(
                     g, occ_mod.make_density_fn(field), p, k, occ_cfg
                 )
-            )(occ_grid, state.params, jax.random.PRNGKey(cfg.seed + 2))
+            )
+            for sweep in range(8):
+                occ_grid = rebuild(
+                    occ_grid, state.params, jax.random.PRNGKey(cfg.seed + 2 + sweep)
+                )
 
     camera = dataset.camera
     images_j = jnp.asarray(dataset.flat_images())

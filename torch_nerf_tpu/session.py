@@ -214,6 +214,13 @@ def build_occupancy_cfg(cfg: cfg_mod.ExperimentConfig):
         )
     from torch_nerf_tpu.occupancy import OccupancyConfig  # noqa: PLC0415
 
+    if o.keep_samples > cfg.renderer.num_samples_coarse:
+        # make_ray_train_step raises for this; the CLI clamps but says so,
+        # so config users and API users see consistent behavior
+        print(
+            f"occupancy.keep_samples={o.keep_samples} clamped to "
+            f"renderer.num_samples_coarse={cfg.renderer.num_samples_coarse}"
+        )
     return OccupancyConfig(
         resolution=o.resolution,
         bound=o.bound,
