@@ -413,3 +413,36 @@ def test_encode_smoothness_loss_detects_face_jumps():
     dual_tables = instant_ngp.init_packed_hash_table(key, 2 * L, logT, F)
     dual_loss = float(dual_fn({"tables": dual_tables * 1e4}, jax.random.PRNGKey(1)))
     assert np.isfinite(dual_loss) and dual_loss > 0
+
+
+def test_corner_kernel_interpret_matches_hash_encode():
+    """Interpret-mode per-corner Pallas encode (fwd + table grad) == the XLA
+    reference-parity ``hash_encode`` path: same (L, T, F) parameters, same
+    per-corner spatial hash, same trilinear weights. N deliberately not a
+    multiple of the kernel tile to exercise padding."""
+    L, logT, F = 2, 9, 2
+    key = jax.random.PRNGKey(3)
+    tables = instant_ngp.init_hash_table(key, L, logT, F)
+    res = jnp.asarray(instant_ngp.level_resolutions(L, 4, 16))
+    pts = jnp.asarray(
+        np.random.default_rng(9).uniform(-1.5, 1.5, (77, 3)), jnp.float32
+    )
+    # include integral scaled coords (all-zero-weight quirk) in the batch
+    pts = pts.at[5].set(jnp.asarray([0.25, -0.5, 1.0]))
+
+    def loss_kernel(t):
+        out = instant_ngp.hash_encode_corner128(t, pts, res, interpret=True)
+        return jnp.sum(out**2), out
+
+    def loss_xla(t):
+        out = instant_ngp.hash_encode(t, pts, res)
+        return jnp.sum(out**2), out
+
+    (_, out_k), g_k = jax.value_and_grad(loss_kernel, has_aux=True)(tables)
+    (_, out_x), g_x = jax.value_and_grad(loss_xla, has_aux=True)(tables)
+    np.testing.assert_allclose(
+        np.asarray(out_k[:, : L * F]), np.asarray(out_x), rtol=1e-5, atol=1e-6
+    )
+    # lanes beyond L*F are zero
+    assert float(jnp.max(jnp.abs(out_k[:, L * F :]))) == 0.0
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x), rtol=1e-5, atol=1e-6)

@@ -61,6 +61,7 @@ __all__ = [
     "spatial_hash",
     "init_hash_table",
     "hash_encode",
+    "hash_encode_corner128",
     "init_packed_hash_table",
     "unfold_packed_table",
     "hash_encode_packed",
@@ -143,6 +144,69 @@ def hash_encode(
         )  # (N, L)
     # reference layout: level-major, feature-minor (N, L*F)
     return jnp.stack(blended, axis=-1).reshape(n, num_level * feat_dim)
+
+
+def hash_encode_corner128(
+    tables: jnp.ndarray,
+    coords: jnp.ndarray,
+    resolutions: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Reference-parity hash encode through the per-corner Pallas kernels ->
+    (N, 128) feature LINES (lanes [0, L*F) carry the level-major features).
+
+    Identical math to :func:`hash_encode` — same (L, T, F) parameter array,
+    same per-corner spatial hash and trilinear weights — but the gathers and
+    the gradient scatter run in the scalar-loop kernels of
+    ``ops.pallas.hash_corner`` instead of XLA's index-rate-bound gather
+    (measured ~60x faster at the production operating point). T must be a
+    power of two with ``T % (128 // F) == 0`` (always true at the
+    reference's 2^19 capacity).
+    """
+    from torch_nerf_tpu.ops.pallas.hash_corner import (  # noqa: PLC0415
+        CornerCfg,
+        encode_corner,
+    )
+
+    num_level, num_entries, feat_dim = tables.shape
+    if num_level * feat_dim > 128:
+        raise ValueError(
+            f"hash_encode_corner128 packs L*F features into one 128-lane "
+            f"line; got L={num_level}, F={feat_dim}"
+        )
+    n = coords.shape[0]
+    # tile=512 keeps the per-step SMEM index block (L*8*tile ints) within
+    # Mosaic's rank-1 s32 T(1024) tiling for any L, and the backward's
+    # (L*8*tile, 128) update-row scratch at ~34 MB beside the 67 MB
+    # gradient-table refs (measured ~3% faster than tile=256)
+    tile = 512
+    cfg = CornerCfg(
+        feat_dim=feat_dim,
+        num_entries=num_entries,
+        num_level=num_level,
+        use_kernel=True,
+        interpret=interpret,
+        tile=tile,
+        group=min(8, num_level),
+        place_bf16=not interpret,
+    )
+    # the full production batch (<=1.05M points) runs as ONE pallas call:
+    # the HBM-side (L*8, N) index streams are ~0.5 GB and stream fine,
+    # while a lax.map over chunks makes XLA stage each chunk's 67 MB output
+    # through scoped VMEM (observed OOM). Chunking only guards huge batches.
+    max_chunk = max(tile, (1 << 22) // tile * tile)
+    chunk = min(max_chunk, -(-n // tile) * tile)
+    padded_n = -(-n // chunk) * chunk
+    # zero-padding is safe: integral scaled coords give all-zero weights
+    coords_p = jnp.pad(coords, ((0, padded_n - n), (0, 0)))
+    if padded_n == chunk:
+        out = encode_corner(cfg, tables, coords_p, resolutions)
+    else:
+        out = jax.lax.map(
+            lambda pts: encode_corner(cfg, tables, pts, resolutions),
+            coords_p.reshape(-1, chunk, 3),
+        ).reshape(padded_n, 128)
+    return out[:n]
 
 
 # ---------------------------------------------------------------------------
@@ -414,8 +478,20 @@ def instant_ngp_apply(
     flat_dir = view_dir_enc.reshape(-1, view_dir_enc.shape[-1])
 
     if table_layout == "hash":
-        feats = hash_encode(params["tables"], flat_pos, resolutions)
-        density_mlp = params["density_mlp"]
+        tab = params["tables"]
+        if jax.default_backend() == "tpu" and tab.shape[0] * tab.shape[2] <= LANES:
+            # per-corner Pallas kernels: same math, (N, 128) feature lines
+            # feeding a zero-row-padded fc_in (identical product)
+            feats = hash_encode_corner128(params["tables"], flat_pos, resolutions)
+            w_in = params["density_mlp"]["fc_in"]["w"]
+            density_mlp = dict(params["density_mlp"])
+            density_mlp["fc_in"] = {
+                "w": jnp.pad(w_in, ((0, LANES - w_in.shape[0]), (0, 0))),
+                "b": params["density_mlp"]["fc_in"]["b"],
+            }
+        else:
+            feats = hash_encode(params["tables"], flat_pos, resolutions)
+            density_mlp = params["density_mlp"]
     else:
         num_level = params["tables"].shape[0]  # 2L pseudo-levels when dual
         feat_dim = params["density_mlp"]["fc_in"]["w"].shape[0] // num_level
