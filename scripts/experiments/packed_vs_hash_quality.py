@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries, decay=0.0, smooth=0.0, occ_keep=0):
+def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries, decay=0.0, smooth=0.0, occ_keep=0, occ_threshold=1e-2):
     from torch_nerf_tpu import metrics, train
     from torch_nerf_tpu.fields_ngp import (
         make_encode_smoothness_loss,
@@ -67,7 +67,9 @@ def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries, de
         # occupancy-grid pruning (occupancy.py): 128 candidates -> occ_keep
         from torch_nerf_tpu import occupancy as occ_mod
 
-        occ_cfg = occ_mod.OccupancyConfig(keep_samples=occ_keep)
+        occ_cfg = occ_mod.OccupancyConfig(
+            keep_samples=occ_keep, threshold=occ_threshold
+        )
     step = train.make_image_train_step(
         field, settings, optim, camera, num_pixels=1024, donate=True,
         aux_loss_fn=aux, occupancy_cfg=occ_cfg,
@@ -101,6 +103,7 @@ def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries, de
         ("" if decay == 0.0 else f"_wd{decay:g}")
         + ("" if smooth == 0.0 else f"_sm{smooth:g}")
         + ("" if not occ_keep else f"_occ{occ_keep}")
+        + ("" if occ_threshold == 1e-2 else f"_th{occ_threshold:g}")
     )
     out = {
         "variant": name + tag,
@@ -138,6 +141,16 @@ VARIANTS = {
     "packed_dual_L4F16": ("packed_dual_L4F16", "packed_dual", 4, 16, 15),
     "packed_dual_L4F8_T18": ("packed_dual_L4F8_T18 (8x rows)", "packed_dual", 4, 8, 18),
     "packed_dual_L4F16_T18": ("packed_dual_L4F16_T18 (8x rows)", "packed_dual", 4, 16, 18),
+    # bricked = corner-SHARED 4^3-site bricks (stride 3), one gathered line
+    # per (point, level) like packed but with lattice sites shared across
+    # each brick's 3^3 voxels (ops/pallas/hash_brick.py) — the round-4
+    # candidate for reference quality at packed speed.
+    "bricked_L16F2": ("bricked_L16F2", "bricked", 16, 2, 15),
+    "bricked_L16F2_T18": ("bricked_L16F2_T18 (8x rows)", "bricked", 16, 2, 18),
+    # full PRODUCTION capacity (2^19/level — the reference's geometry, both
+    # VMEM-resident at 64-67 MB): the bracket the production bench cites
+    "hash_L16F2_T19": ("hash_L16F2_T19 (production capacity)", "hash", 16, 2, 19),
+    "bricked_L16F2_T19": ("bricked_L16F2_T19 (production capacity)", "bricked", 16, 2, 19),
 }
 
 
@@ -151,6 +164,7 @@ def main():
     decay = float(next((a.split("=")[1] for a in sys.argv if a.startswith("--decay=")), 0.0))
     smooth = float(next((a.split("=")[1] for a in sys.argv if a.startswith("--smooth=")), 0.0))
     occ_keep = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--occupancy=")), 0))
+    occ_threshold = float(next((a.split("=")[1] for a in sys.argv if a.startswith("--occ-threshold=")), 1e-2))
     picks = [a for a in sys.argv[1:] if not a.startswith("--")]
     if not picks:
         picks = list(VARIANTS)
@@ -174,6 +188,7 @@ def main():
             run_variant(
                 n, lay, l, f, int(per_steps or steps), data,
                 log2_entries=log2, decay=decay, smooth=smooth, occ_keep=occ_keep,
+                occ_threshold=occ_threshold,
             )
         )
 

@@ -446,3 +446,78 @@ def test_corner_kernel_interpret_matches_hash_encode():
     # lanes beyond L*F are zero
     assert float(jnp.max(jnp.abs(out_k[:, L * F :]))) == 0.0
     np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x), rtol=1e-5, atol=1e-6)
+
+
+def test_brick_kernel_interpret_matches_xla_path():
+    """Interpret-mode brick Pallas encode (fwd + table grad) == the XLA
+    fallback path; N not a multiple of the kernel tile."""
+    L, logT, F = 3, 11, 2
+    key = jax.random.PRNGKey(4)
+    tables = instant_ngp.init_bricked_hash_table(key, L, logT, F)
+    res = jnp.asarray(instant_ngp.level_resolutions(L, 4, 16))
+    pts = jnp.asarray(
+        np.random.default_rng(11).uniform(-1.5, 1.5, (99, 3)), jnp.float32
+    )
+    pts = pts.at[7].set(jnp.asarray([0.25, -0.5, 1.0]))  # integral scaled coords
+
+    def loss(t, interpret):
+        out = instant_ngp.hash_encode_bricked128(t, pts, res, F, interpret=interpret)
+        return jnp.sum(out**2), out
+
+    (_, out_k), g_k = jax.value_and_grad(loss, has_aux=True)(tables, True)
+    (_, out_x), g_x = jax.value_and_grad(loss, has_aux=True)(tables, False)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x), rtol=1e-5, atol=1e-6)
+    assert float(jnp.max(jnp.abs(out_x))) > 0.0
+
+
+def test_brick_encoding_shares_sites_across_interior_faces():
+    """The design property packed lacks: across a voxel face INTERIOR to a
+    brick (face coordinate != 0 mod 3) the two adjacent voxels read the same
+    site rows, so the encoding is continuous; packed is discontinuous at
+    every face. Stride faces (coordinate = 0 mod 3) may jump."""
+    L, logT, F = 1, 11, 2
+    tables = instant_ngp.init_bricked_hash_table(jax.random.PRNGKey(0), L, logT, F)
+    res = jnp.asarray([8.0])
+    eps = 1e-4
+    # face x = 1/8 (scaled coordinate 1: 1 % 3 != 0 -> interior)
+    lo = jnp.asarray([[1.0 / 8.0 - eps, 0.3, 0.22]])
+    hi = jnp.asarray([[1.0 / 8.0 + eps, 0.3, 0.22]])
+    e_lo = instant_ngp.hash_encode_bricked128(tables, lo, res, F)
+    e_hi = instant_ngp.hash_encode_bricked128(tables, hi, res, F)
+    jump_interior = float(jnp.max(jnp.abs(e_lo - e_hi)))
+    assert jump_interior < 1e-6, jump_interior
+
+
+def test_bricked_field_trains():
+    """End-to-end: the bricked instant-NGP field fits a toy batch."""
+    import optax
+
+    field = make_instant_ngp_field(
+        num_level=2, log_max_entry_per_level=10, table_feat_dim=2,
+        min_res=4, max_res=8, table_layout="bricked",
+    )
+    params = field.init(jax.random.PRNGKey(0))
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (256, 3), jnp.float32, -1.0, 1.0)
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (256, 3))
+    sigma_t = jnp.abs(pts[:, 0]) * 2.0
+    rgb_t = (pts + 1.0) / 2.0
+
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            sigma, rgb = field.apply(p, pts, dirs)
+            return jnp.mean((sigma - sigma_t) ** 2) + jnp.mean((rgb - rgb_t) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(60):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5

@@ -66,6 +66,8 @@ __all__ = [
     "unfold_packed_table",
     "hash_encode_packed",
     "hash_encode_packed128",
+    "init_bricked_hash_table",
+    "hash_encode_bricked128",
     "dual_resolutions_offsets",
     "init_small_mlp",
     "small_mlp_apply",
@@ -335,6 +337,83 @@ def hash_encode_packed(
     return out[:, : num_level * feat_dim]
 
 
+# ---------------------------------------------------------------------------
+# corner-shared brick layout: one gathered line per (point, level) like
+# "packed", but lattice sites shared across the brick's 3^3 voxels (see
+# ops/pallas/hash_brick.py for the design rationale and trade-offs)
+
+
+def init_bricked_hash_table(
+    key: jax.Array,
+    num_level: int,
+    log_max_entry_per_level: int,
+    feat_dim: int,
+) -> jnp.ndarray:
+    """(L, T_b, 128) brick tables, U(-1e-4, 1e-4), at the reference budget
+    (``T_b * 128 = 2^log * F`` floats per level)."""
+    from torch_nerf_tpu.ops.pallas.hash_brick import bricks_per_level  # noqa: PLC0415
+
+    t_b = bricks_per_level(log_max_entry_per_level, feat_dim)
+    return jax.random.uniform(
+        key, (num_level, t_b, LANES), jnp.float32, -1e-4, 1e-4
+    )
+
+
+def hash_encode_bricked128(
+    tables: jnp.ndarray,
+    coords: jnp.ndarray,
+    resolutions: jnp.ndarray,
+    feat_dim: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Brick-shared query of all levels -> (N, 128) feature lines (lanes
+    [0, L*F) carry the level-major packed features, the rest are zero).
+
+    One gathered row per (point, level) — packed-layout cost — with lattice
+    sites shared across each brick's 3x3x3 voxels (``ops.pallas.
+    hash_brick``). On TPU the lookups run in the Pallas kernels; elsewhere
+    an equivalent XLA path (``interpret=True`` forces the kernels in
+    interpreter mode for tests).
+    """
+    from torch_nerf_tpu.ops.pallas.hash_brick import (  # noqa: PLC0415
+        BRICK_EDGE,
+        BrickCfg,
+        encode_brick,
+    )
+
+    num_level, t_b, _ = tables.shape
+    if BRICK_EDGE**3 * feat_dim != LANES:
+        raise ValueError(f"bricked layout requires F={LANES // BRICK_EDGE**3}")
+    if num_level * feat_dim > LANES:
+        raise ValueError("bricked layout packs L*F features into 128 lanes")
+    n = coords.shape[0]
+    use_kernel = interpret or jax.default_backend() == "tpu"
+    tile = 512
+    cfg = BrickCfg(
+        feat_dim=feat_dim,
+        num_bricks=t_b,
+        num_level=num_level,
+        use_kernel=use_kernel,
+        interpret=interpret,
+        tile=tile,
+        group=min(8, num_level),
+        place_bf16=not interpret,
+    )
+    max_chunk = max(tile, (1 << 22) // tile * tile)
+    chunk = min(max_chunk, -(-n // tile) * tile)
+    padded_n = -(-n // chunk) * chunk
+    # zero-padding is safe: integral scaled coords give all-zero weights
+    coords_p = jnp.pad(coords, ((0, padded_n - n), (0, 0)))
+    if padded_n == chunk:
+        out = encode_brick(cfg, tables, coords_p, resolutions)
+    else:
+        out = jax.lax.map(
+            lambda pts: encode_brick(cfg, tables, pts, resolutions),
+            coords_p.reshape(-1, chunk, 3),
+        ).reshape(padded_n, LANES)
+    return out[:n]
+
+
 def dual_resolutions_offsets(resolutions: jnp.ndarray):
     """Pseudo-level (2L,) resolutions/offsets for the dual-grid layout.
 
@@ -437,6 +516,10 @@ def init_instant_ngp_params(
             table_key, 2 * num_level, log_max_entry_per_level, table_feat_dim
         )
         encode_dim = 2 * num_level * table_feat_dim
+    elif table_layout == "bricked":
+        tables = init_bricked_hash_table(
+            table_key, num_level, log_max_entry_per_level, table_feat_dim
+        )
     else:
         raise ValueError(f"Unknown table_layout '{table_layout}'.")
     return {
@@ -495,14 +578,19 @@ def instant_ngp_apply(
     else:
         num_level = params["tables"].shape[0]  # 2L pseudo-levels when dual
         feat_dim = params["density_mlp"]["fc_in"]["w"].shape[0] // num_level
-        offsets = None
-        if table_layout == "packed_dual":
-            resolutions, offsets = dual_resolutions_offsets(resolutions)
-        # 128-lane feature lines feed an fc_in zero-padded to 128 input rows
-        # (identical math, no narrow arrays on the TPU hot path)
-        feats = hash_encode_packed128(
-            params["tables"], flat_pos, resolutions, feat_dim, offsets=offsets
-        )
+        if table_layout == "bricked":
+            feats = hash_encode_bricked128(
+                params["tables"], flat_pos, resolutions, feat_dim
+            )
+        else:
+            offsets = None
+            if table_layout == "packed_dual":
+                resolutions, offsets = dual_resolutions_offsets(resolutions)
+            # 128-lane feature lines feed an fc_in zero-padded to 128 input
+            # rows (identical math, no narrow arrays on the TPU hot path)
+            feats = hash_encode_packed128(
+                params["tables"], flat_pos, resolutions, feat_dim, offsets=offsets
+            )
         w_in = params["density_mlp"]["fc_in"]["w"]
         density_mlp = dict(params["density_mlp"])
         density_mlp["fc_in"] = {
