@@ -4,7 +4,17 @@ Measures the reference's exact operating point (lego defaults,
 ``configs/renderer/volume_renderer_default.yaml``): 4096 rays/step, 64
 coarse + (64+128) fine samples, two 256-wide NeRF MLPs, full fwd+bwd+Adam —
 i.e. ~1.05M MLP evaluations per step — using the on-device image pool train
-step. Prints ONE JSON line.
+step. Prints ONE JSON line (the flagship line carries ``mfu``: executed
+model FLOPs / step time / chip bf16 peak).
+
+``--model=instant_nerf`` benches the hash-grid model at its production
+preset (``config.instant_nerf_tpu_config``: the corner-SHARED "bricked"
+layout — measured -0.12 dB vs the reference-parity hash layout at equal
+steps, NGP_QUALITY.json `bricked_L16F2_T19` — at the reference's 16.8M-param
+budget). ``--layout=hash|packed|packed_dual|bricked`` measures the others at
+the same budget. ``--occupancy[=KEEP]`` enables occupancy-grid sample
+pruning (opt-in: its error is threshold-bounded only on scenes with real
+empty space; on the soft procedural scene it costs ~4.6 dB at 2:1).
 
 ``vs_baseline``: the reference publishes no numbers (SURVEY.md §6). The
 denominator is an estimated reference throughput of 40,960 rays/s — 10
@@ -19,7 +29,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 REFERENCE_RAYS_PER_SEC = 10.0 * 4096.0
 
@@ -27,30 +36,31 @@ REFERENCE_RAYS_PER_SEC = 10.0 * 4096.0
 def main(
     model: str = "nerf",
     layout: str | None = None,
-    use_occupancy: bool = True,
+    use_occupancy: bool = False,
     keep: int | None = None,
+    keep_fine: int | None = None,
 ) -> None:
     from torch_nerf_tpu import train
     from torch_nerf_tpu.datasets import synthetic
     from torch_nerf_tpu.fields import make_nerf_field
+    from torch_nerf_tpu.logging_utils import device_peak_flops
     from torch_nerf_tpu.renderer import RenderSettings
 
     num_pixels = 4096
     on_tpu = jax.default_backend() != "cpu"
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    occ_cfg = None
+    mlp_flops_per_point = 0.0
+
     if model == "instant_nerf":
         # hash-grid operating point: 256 coarse samples, no fine network
-        # (configs/instant_nerf.yaml in the reference), at the production
-        # TPU preset (dual staggered-packed layout, reference 16.8M-param
-        # budget — config.instant_nerf_tpu_config; quality evidence in
-        # NGP_QUALITY.json). `--layout=hash|packed` measures the others at
-        # the same param budget.
+        # (configs/instant_nerf.yaml in the reference)
         from torch_nerf_tpu import config as cfg_mod
         from torch_nerf_tpu.fields_ngp import make_instant_ngp_field
 
         cfg = cfg_mod.instant_nerf_tpu_config()
         net = cfg.network
-        if layout is not None and layout != "packed_dual":
+        if layout is not None:
             net = cfg_mod.NetworkConfig(
                 type="instant_nerf", table_layout=layout
             )  # reference L16F2 2^19 geometry
@@ -65,11 +75,6 @@ def main(
             table_layout=net.table_layout,
         )
         optim = train.OptimConfig(num_iter=300_000, init_lr=1e-2, end_lr=1e-3, eps=1e-15)
-        # production path: occupancy-grid pruning keeps 128 of the 256
-        # stratified candidates per ray (static shapes — the step cost is
-        # content-independent; the grid only decides WHICH samples survive).
-        # Includes the every-16-step density-grid refresh sweep honestly.
-        occ_cfg = None
         if use_occupancy:
             from torch_nerf_tpu import occupancy as occ_mod
 
@@ -77,21 +82,47 @@ def main(
                 **({"keep_samples": keep} if keep else {})
             )
         unit = (
-            f"rays/s (fwd+bwd, 256 samples"
+            "rays/s (fwd+bwd, 256 samples"
             + (f" pruned to {occ_cfg.keep_samples} by occupancy grid" if occ_cfg else "")
             + f", instant-NGP {net.table_layout} "
             f"L{net.num_level}F{net.table_feat_dim} hash grid)"
         )
+        samples_executed = occ_cfg.keep_samples if occ_cfg else 256
     else:
-        occ_cfg = None
+        from torch_nerf_tpu.encoders import positional_encoding_dim
+        from torch_nerf_tpu.models.nerf import layer_dims
+
         settings = RenderSettings(
             num_samples_coarse=64, num_samples_fine=128, t_near=2.0, t_far=6.0
         )
         # the fused Pallas encode+MLP kernel is the production TPU path
-        # (+52% over the XLA path at this operating point)
+        # (round-2: encode->MLP->composite->MSE->backward in one kernel)
         field = make_nerf_field(compute_dtype=compute_dtype, use_pallas=on_tpu)
         optim = train.OptimConfig()
-        unit = "rays/s (fwd+bwd, 64c+192f samples, hierarchical NeRF)"
+        if use_occupancy:
+            from torch_nerf_tpu import occupancy as occ_mod
+
+            occ_cfg = occ_mod.OccupancyConfig(
+                keep_samples=keep or 32,
+                keep_samples_fine=keep_fine or 128,
+            )
+        pos_dim = positional_encoding_dim(3, 10, True)
+        dir_dim = positional_encoding_dim(3, 4, True)
+        mlp_flops_per_point = 2.0 * sum(
+            i * o for i, o in layer_dims(pos_dim, dir_dim, 256).values()
+        )
+        if occ_cfg:
+            samples_executed = occ_cfg.keep_samples + (
+                occ_cfg.keep_samples_fine or 64 + 128
+            )
+            unit = (
+                f"rays/s (fwd+bwd, 64c+192f samples occupancy-pruned to "
+                f"{occ_cfg.keep_samples}c+{occ_cfg.keep_samples_fine}f, "
+                "hierarchical NeRF, fused kernel)"
+            )
+        else:
+            samples_executed = 64 + 192
+            unit = "rays/s (fwd+bwd, 64c+192f samples, hierarchical NeRF)"
 
     # lego operating point: 400x400 training images
     images, poses, camera, _ = synthetic.make_dataset(num_views=8, img_size=400)
@@ -134,26 +165,36 @@ def main(
     elapsed = time.perf_counter() - start
 
     rays_per_sec = num_pixels * iters / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "train_rays_per_sec_per_chip",
-                "value": round(rays_per_sec, 1),
-                "unit": unit,
-                "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": unit,
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+    }
+    if mlp_flops_per_point > 0:
+        # executed model FLOPs (fwd + bwd ~= 3x fwd MACs x 2) / chip peak —
+        # the MFU gauge of SURVEY.md §5.1; encode/composite are folded into
+        # the same kernel and add a few percent not counted here
+        flops_per_step = 3.0 * mlp_flops_per_point * num_pixels * samples_executed
+        peak = device_peak_flops()
+        if peak:
+            out["tflops"] = round(flops_per_step * iters / elapsed / 1e12, 1)
+            out["mfu"] = round(flops_per_step * iters / elapsed / peak, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
     import sys
 
+    argv = sys.argv[1:]
     main(
-        "instant_nerf" if "--model=instant_nerf" in sys.argv[1:] else "nerf",
-        next((a.split("=")[1] for a in sys.argv[1:] if a.startswith("--layout=")), None),
-        use_occupancy="--no-occupancy" not in sys.argv[1:],
+        "instant_nerf" if "--model=instant_nerf" in argv else "nerf",
+        next((a.split("=")[1] for a in argv if a.startswith("--layout=")), None),
+        use_occupancy=any(a.startswith("--occupancy") for a in argv),
         keep=next(
-            (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--keep=")), None
+            (int(a.split("=")[1]) for a in argv if a.startswith("--occupancy=")), None
+        ),
+        keep_fine=next(
+            (int(a.split("=")[1]) for a in argv if a.startswith("--keep-fine=")), None
         ),
     )

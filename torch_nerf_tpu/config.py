@@ -158,8 +158,10 @@ class OccupancySection:
     No reference counterpart (the reference's sampler is purely stratified,
     ``ray_samplers/stratified_sampler.py:92-109``); this is the Instant-NGP
     empty-space-skipping acceleration re-designed for XLA static shapes.
-    Single-pass (num_samples_fine=0) models only. ``keep_samples`` is the
-    static per-ray budget after pruning — the compute knob; disabled by
+    ``keep_samples`` is the static per-ray budget after pruning of the
+    (coarse) stratified candidates — the compute knob; for hierarchical
+    models ``keep_samples_fine`` additionally budgets the merged
+    coarse+fine set of the fine pass (0 = fine set unpruned). Disabled by
     default so reference-faithful runs are untouched.
     """
 
@@ -171,6 +173,7 @@ class OccupancySection:
     threshold: float = 1e-2
     keep_samples: int = 128
     warmup_steps: int = 512
+    keep_samples_fine: int = 0
 
 
 @dataclasses.dataclass
@@ -227,22 +230,22 @@ def instant_nerf_config() -> ExperimentConfig:
 
 
 def instant_nerf_tpu_config() -> ExperimentConfig:
-    """TPU-production hash-grid preset: the dual staggered-packed layout at
-    the reference's exact 16.8M-param budget, reshaped for the v5e's
-    scalar-issue-bound gather/scatter (fewer, wider levels — rows per point
-    are the cost driver, not features per row; see NGP_QUALITY.json for the
-    quality evidence and models/instant_ngp.py for the layout).
+    """TPU-production hash-grid preset: the corner-SHARED bricked layout at
+    the reference's exact 16.8M-param budget and L16F2 geometry.
+
+    One gathered line per (point, level) — packed-layout speed on the v5e's
+    scalar-issue-bound gather/scatter — while lattice sites stay shared
+    across each brick's 3^3 voxels, which is what preserves novel-view
+    quality: measured -0.12 dB vs the reference-parity hash layout at equal
+    steps and 16x less wall time (NGP_QUALITY.json `bricked_L16F2_T19`;
+    the round-3 packed/dual presets plateaued 4-6 dB below reference).
+    Occupancy pruning stays opt-in (``occupancy.enabled=true``): on real
+    scenes with empty space its error is bounded by the density threshold,
+    but on soft/volumetric content it degenerates to even subsampling
+    (measured -4.6 dB on the procedural gaussian_blobs scene at 2:1).
     """
     cfg = instant_nerf_config()
-    cfg.network.table_layout = "packed_dual"
-    cfg.network.num_level = 4
-    cfg.network.table_feat_dim = 8
-    # 2 grids x 4 levels x 2^18 corner-feature slots x 8 feats = 16.8M params
-    cfg.network.log_max_entry_per_level = 18
-    # occupancy pruning: 256 candidates -> 128 rendered samples/ray (the
-    # encode is scalar-issue-bound, so gathered rows ~ throughput;
-    # BENCH_NGP_r03.json)
-    cfg.occupancy.enabled = True
+    cfg.network.table_layout = "bricked"
     return cfg
 
 

@@ -79,6 +79,10 @@ class OccupancyConfig:
     threshold: float = 1e-2
     keep_samples: int = 128
     warmup_steps: int = 512
+    # hierarchical pipelines only: static budget for the merged coarse+fine
+    # sample set of the FINE pass (``keep_samples`` then budgets the coarse
+    # candidates). 0 = keep the full merged set unpruned.
+    keep_samples_fine: int = 0
 
 
 def init_grid(cfg: OccupancyConfig) -> jnp.ndarray:
@@ -142,18 +146,21 @@ def prune_t_samples(
     ray_dir: jnp.ndarray,
     t_samples: jnp.ndarray,
     step: jnp.ndarray,
+    keep: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dense ``(N, S)`` t-samples -> kept ``(t (N, K), delta (N, K))``.
 
     ``delta`` is the DENSE interval gathered at the kept indices (spacing to
     the next dense candidate, 1e8 sentinel on the last dense sample): the
     exact quadrature contribution of a kept sample when all pruned samples
-    carry zero density.
+    carry zero density. ``keep`` overrides ``cfg.keep_samples`` (the
+    hierarchical pipeline budgets its two passes differently).
     """
+    keep = cfg.keep_samples if keep is None else keep
     n, s = t_samples.shape
     pts = sampling.points_along_rays(ray_origin, ray_dir, t_samples)
     occ = occupied_mask(grid, pts, cfg, step)
-    kept = quota_keep_mask(occ, cfg.keep_samples)
+    kept = quota_keep_mask(occ, keep)
 
     # Gather-free compaction: co-sort (t, delta) by a key that places kept
     # samples first (each group in ascending ray order) and slice the static
@@ -174,7 +181,33 @@ def prune_t_samples(
     _, t_sel, delta_sel = jax.lax.sort(
         (key, t_samples, sampling.t_deltas(t_samples)), dimension=-1, num_keys=1
     )
-    return t_sel[:, : cfg.keep_samples], delta_sel[:, : cfg.keep_samples]
+    return t_sel[:, :keep], delta_sel[:, :keep]
+
+
+def scatter_weights_to_bins(
+    t_sel: jnp.ndarray,
+    weights_sel: jnp.ndarray,
+    t_near: float,
+    t_far: float,
+    num_bins: int,
+) -> jnp.ndarray:
+    """Pruned coarse weights ``(N, K)`` -> dense per-BIN weights ``(N, S_c)``.
+
+    The hierarchical fine sampler (``sampling.sample_pdf``) draws from a
+    histogram over the UNIFORM coarse bins (``stratified_sampler.py:57-90``);
+    after pruning, each kept sample still lies inside its original stratified
+    bin, so its bin index is recovered arithmetically and its weight placed
+    there. Pruned bins get weight 0 — consistent with their (empty-space)
+    densities. The scatter is a one-hot contraction, not an index gather.
+    """
+    bin_size = (t_far - t_near) / num_bins
+    idx = jnp.clip(
+        jnp.floor((t_sel - t_near) / bin_size).astype(jnp.int32), 0, num_bins - 1
+    )  # (N, K) — each kept sample's stratified bin (all distinct per ray)
+    onehot = (idx[..., None] == jnp.arange(num_bins, dtype=jnp.int32)).astype(
+        weights_sel.dtype
+    )  # (N, K, S_c)
+    return jnp.einsum("nk,nks->ns", weights_sel, onehot)
 
 
 def make_density_fn(field, params_key: str = "coarse") -> Callable[..., jnp.ndarray]:

@@ -206,12 +206,6 @@ def build_occupancy_cfg(cfg: cfg_mod.ExperimentConfig):
     o = cfg.occupancy
     if not o.enabled:
         return None
-    if cfg.renderer.num_samples_fine > 0:
-        raise ValueError(
-            "occupancy.enabled requires a single-pass model "
-            "(renderer.num_samples_fine=0); the hierarchical fine pass "
-            "already importance-samples via the coarse weights."
-        )
     from torch_nerf_tpu.occupancy import OccupancyConfig  # noqa: PLC0415
 
     if o.keep_samples > cfg.renderer.num_samples_coarse:
@@ -221,6 +215,12 @@ def build_occupancy_cfg(cfg: cfg_mod.ExperimentConfig):
             f"occupancy.keep_samples={o.keep_samples} clamped to "
             f"renderer.num_samples_coarse={cfg.renderer.num_samples_coarse}"
         )
+    max_fine = cfg.renderer.num_samples_coarse + cfg.renderer.num_samples_fine
+    if o.keep_samples_fine > max_fine:
+        print(
+            f"occupancy.keep_samples_fine={o.keep_samples_fine} clamped to "
+            f"the merged fine candidate count {max_fine}"
+        )
     return OccupancyConfig(
         resolution=o.resolution,
         bound=o.bound,
@@ -229,6 +229,7 @@ def build_occupancy_cfg(cfg: cfg_mod.ExperimentConfig):
         threshold=o.threshold,
         keep_samples=min(o.keep_samples, cfg.renderer.num_samples_coarse),
         warmup_steps=o.warmup_steps,
+        keep_samples_fine=min(o.keep_samples_fine, max_fine),
     )
 
 

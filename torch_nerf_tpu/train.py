@@ -266,6 +266,142 @@ def pruned_ray_loss_fn(
     return loss, {"coarse_loss": loss, "loss": loss}
 
 
+def pruned_hierarchical_loss_fn(
+    field: Field,
+    params: Dict[str, Any],
+    grid: jnp.ndarray,
+    occ_cfg: "occupancy.OccupancyConfig",
+    ray_origin: jnp.ndarray,
+    ray_dir: jnp.ndarray,
+    rgb_gt: jnp.ndarray,
+    key: jax.Array,
+    settings: RenderSettings,
+    step: jnp.ndarray,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Hierarchical photometric loss with occupancy pruning on BOTH passes.
+
+    The coarse pass draws the reference's ``num_samples_coarse`` stratified
+    candidates and keeps the static ``keep_samples`` occupied ones. Its
+    weights are scattered back onto the uniform coarse bins
+    (``occupancy.scatter_weights_to_bins`` — pruned bins get weight 0,
+    consistent with their empty-space densities), the fine pass merges a
+    fresh stratification with the inverse-CDF draws exactly like the dense
+    pipeline (``stratified_sampler.py:57-90``), and the merged set is then
+    itself pruned to ``keep_samples_fine`` (when > 0).
+    """
+    num_rays = ray_origin.shape[0]
+    s_c = settings.num_samples_coarse
+    coarse_key, fine_key = jax.random.split(key)
+
+    def pruned_pass(params_pass, t_dense, keep):
+        t_sel, delta_sel = occupancy.prune_t_samples(
+            grid, occ_cfg, ray_origin, ray_dir, t_dense, step, keep=keep
+        )
+        pts = sampling.points_along_rays(ray_origin, ray_dir, t_sel)
+        dirs = jnp.broadcast_to(ray_dir[:, None, :], pts.shape)
+        sigma, radiance = field.apply(params_pass, pts, dirs)
+        rgb, weights = integration.composite(sigma, radiance, delta_sel)
+        return rgb, weights, t_sel
+
+    t_dense = sampling.stratified_t_samples(
+        coarse_key, num_rays, settings.t_near, settings.t_far, s_c
+    )
+    rgb_c, weights_c, t_c = pruned_pass(
+        params["coarse"], t_dense, occ_cfg.keep_samples
+    )
+    coarse_loss = jnp.mean((rgb_c - rgb_gt) ** 2)
+    metrics = {"coarse_loss": coarse_loss}
+
+    w_dense = occupancy.scatter_weights_to_bins(
+        t_c, jax.lax.stop_gradient(weights_c), settings.t_near, settings.t_far, s_c
+    )
+    t_merged = sampling.hierarchical_t_samples(
+        fine_key, w_dense, settings.t_near, settings.t_far, s_c,
+        settings.num_samples_fine,
+    )
+    keep_fine = occ_cfg.keep_samples_fine or t_merged.shape[-1]
+    rgb_f, _, _ = pruned_pass(params["fine"], t_merged, keep_fine)
+    fine_loss = jnp.mean((rgb_f - rgb_gt) ** 2)
+    loss = coarse_loss + fine_loss
+    metrics.update(fine_loss=fine_loss, loss=loss)
+    return loss, metrics
+
+
+def fused_pruned_loss_and_grad(
+    field: Field,
+    params: Dict[str, Any],
+    grid: jnp.ndarray,
+    occ_cfg: "occupancy.OccupancyConfig",
+    ray_origin: jnp.ndarray,
+    ray_dir: jnp.ndarray,
+    rgb_gt: jnp.ndarray,
+    key: jax.Array,
+    settings: RenderSettings,
+    step: jnp.ndarray,
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, Any]]:
+    """Occupancy-pruned loss + gradients through the fused Pallas kernel.
+
+    Same sampling semantics as :func:`pruned_ray_loss_fn` /
+    :func:`pruned_hierarchical_loss_fn`, but each pass's
+    encode -> MLP -> composite -> MSE -> backward runs in ONE kernel
+    (``ops.pallas.fused_train``). Pruning happens in XLA on the (N, S)
+    depth columns BEFORE the kernel — the static ``keep`` shapes mean the
+    kernel just sees a smaller sample axis, multiplying its throughput by
+    S/keep with no kernel changes (round-3's "pruning and the fused kernel
+    are mutually exclusive" gap, closed).
+    """
+    from torch_nerf_tpu.ops.pallas.fused_train import fused_train_pass  # noqa: PLC0415
+
+    num_rays = ray_origin.shape[0]
+    s_c = settings.num_samples_coarse
+    if settings.hierarchical:
+        coarse_key, fine_key = jax.random.split(key)
+    else:
+        # match pruned_ray_loss_fn's stream exactly (single-pass runs are
+        # bit-comparable between the fused and generic paths)
+        coarse_key, fine_key = key, None
+
+    t_dense = sampling.stratified_t_samples(
+        coarse_key, num_rays, settings.t_near, settings.t_far, s_c
+    )
+    t_c, delta_c = occupancy.prune_t_samples(
+        grid, occ_cfg, ray_origin, ray_dir, t_dense, step
+    )
+    rgb_c, weights_c, grads_c = fused_train_pass(
+        params["coarse"], ray_origin, ray_dir, t_c, delta_c, rgb_gt,
+        field.fused_cfg, num_rays,
+    )
+    coarse_loss = jnp.mean((rgb_c - rgb_gt) ** 2)
+    metrics = {"coarse_loss": coarse_loss, "loss": coarse_loss}
+    grads: Dict[str, Any] = {"coarse": grads_c}
+
+    if settings.hierarchical:
+        w_dense = occupancy.scatter_weights_to_bins(
+            t_c, weights_c, settings.t_near, settings.t_far, s_c
+        )
+        t_merged = sampling.hierarchical_t_samples(
+            fine_key, w_dense, settings.t_near, settings.t_far, s_c,
+            settings.num_samples_fine,
+        )
+        if occ_cfg.keep_samples_fine > 0:
+            t_f, delta_f = occupancy.prune_t_samples(
+                grid, occ_cfg, ray_origin, ray_dir, t_merged, step,
+                keep=occ_cfg.keep_samples_fine,
+            )
+        else:
+            t_f, delta_f = t_merged, sampling.t_deltas(t_merged)
+        rgb_f, _, grads_f = fused_train_pass(
+            params["fine"], ray_origin, ray_dir, t_f, delta_f, rgb_gt,
+            field.fused_cfg, num_rays,
+        )
+        fine_loss = jnp.mean((rgb_f - rgb_gt) ** 2)
+        metrics["fine_loss"] = fine_loss
+        metrics["loss"] = coarse_loss + fine_loss
+        grads["fine"] = grads_f
+
+    return metrics, grads
+
+
 def make_ray_train_step(
     field: Field,
     settings: RenderSettings,
@@ -298,15 +434,16 @@ def make_ray_train_step(
     if use_fused and aux_loss_fn is not None:
         raise ValueError("aux_loss_fn requires the generic autodiff path.")
     if occupancy_cfg is not None:
-        if settings.hierarchical:
-            raise ValueError(
-                "Occupancy pruning supports single-pass (non-hierarchical) "
-                "rendering only; the hierarchical fine pass already "
-                "importance-samples via the coarse weights."
-            )
         if occupancy_cfg.keep_samples > settings.num_samples_coarse:
             raise ValueError("keep_samples must be <= num_samples_coarse.")
+        max_fine = settings.num_samples_coarse + settings.num_samples_fine
+        if occupancy_cfg.keep_samples_fine > max_fine:
+            raise ValueError(
+                "keep_samples_fine must be <= num_samples_coarse + "
+                "num_samples_fine (the merged fine candidate count)."
+            )
         density_fn = occupancy.make_density_fn(field)
+        use_fused_occ = use_fused and aux_loss_fn is None
 
         def occ_step_fn(state: TrainState, grid, ray_origin, ray_dir, rgb_gt, key):
             occ_key, render_key, aux_key = jax.random.split(key, 3)
@@ -314,21 +451,33 @@ def make_ray_train_step(
                 grid, density_fn, state.params, occ_key, state.step, occupancy_cfg
             )
 
-            def loss_wrapper(params):
-                loss, metrics = pruned_ray_loss_fn(
-                    field, params, grid, occupancy_cfg, ray_origin, ray_dir,
-                    rgb_gt, render_key, settings, state.step,
+            if use_fused_occ:
+                metrics, grads = fused_pruned_loss_and_grad(
+                    field, state.params, grid, occupancy_cfg, ray_origin,
+                    ray_dir, rgb_gt, render_key, settings, state.step,
                 )
-                if aux_loss_fn is not None:
-                    aux = aux_loss_fn(params, aux_key)
-                    metrics["aux_loss"] = aux
-                    loss = loss + aux
-                    metrics["loss"] = loss
-                return loss, metrics
+            else:
+                loss_fn = (
+                    pruned_hierarchical_loss_fn
+                    if settings.hierarchical
+                    else pruned_ray_loss_fn
+                )
 
-            (_, metrics), grads = jax.value_and_grad(loss_wrapper, has_aux=True)(
-                state.params
-            )
+                def loss_wrapper(params):
+                    loss, metrics = loss_fn(
+                        field, params, grid, occupancy_cfg, ray_origin, ray_dir,
+                        rgb_gt, render_key, settings, state.step,
+                    )
+                    if aux_loss_fn is not None:
+                        aux = aux_loss_fn(params, aux_key)
+                        metrics["aux_loss"] = aux
+                        loss = loss + aux
+                        metrics["loss"] = loss
+                    return loss, metrics
+
+                (_, metrics), grads = jax.value_and_grad(loss_wrapper, has_aux=True)(
+                    state.params
+                )
             updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             new_state = TrainState(
