@@ -204,12 +204,21 @@ def load_llff(
             )
         else:
             files = _list_images(img_dir)
-            images = np.stack(
-                [
-                    _area_downsample(_imread(f)[..., :3], factor) / 255.0
-                    for f in files
-                ]
-            ).astype(np.float32)
+            minified = [
+                _area_downsample(_imread(f)[..., :3], factor) for f in files
+            ]
+            # cache to the directory layout the reference's mogrify step
+            # produces (load_llff.py:57-80) so subsequent loads skip the
+            # downsample; best-effort — read-only data roots just re-minify
+            try:
+                minified_dir.mkdir(exist_ok=True)
+                from torch_nerf_tpu.logging_utils import save_png  # noqa: PLC0415
+
+                for f, img in zip(files, minified):
+                    save_png(minified_dir / f"{f.stem}.png", img / 255.0)
+            except OSError:
+                pass
+            images = np.stack(minified).astype(np.float32) / 255.0
     else:
         files = _list_images(img_dir)
         images = np.stack(
