@@ -15,16 +15,21 @@ set -euo pipefail
 cd "$(dirname "$0")/../.."
 
 STEPS="${1:-20000}"
-ROUND="${2:-03}"
+ROUND="${2:-04}"
 VIEWS=16
 # cadences are in EPOCHS (= STEPS/VIEWS steps each, reference semantics); val
 # renders are 5 full 800^2 frames (~3.2M rays each pass), so ~10 validations
 # over the run is the wall-time-sane default
 VAL_EVERY="${3:-$(( STEPS / VIEWS / 10 ))}"
 VIS_NEVER=$(( STEPS / VIEWS + 1 ))
-RUN=/tmp/quality_r${ROUND}
-GT=/tmp/quality_r${ROUND}_gt
-RENDER=/tmp/quality_r${ROUND}_render
+# remaining args = extra dotted config overrides (e.g. occupancy.enabled=true),
+# with a TAG to keep variant outputs apart
+TAG="${4:-}"
+shift $(( $# > 4 ? 4 : $# )) || true
+EXTRA=("$@")
+RUN=/tmp/quality_r${ROUND}${TAG}
+GT=/tmp/quality_r${ROUND}${TAG}_gt
+RENDER=/tmp/quality_r${ROUND}${TAG}_render
 rm -rf "$RUN" "$GT" "$RENDER"
 
 START=$(date +%s)
@@ -33,7 +38,8 @@ python -u -m torch_nerf_tpu.runners.run_train \
   data.dataset_type=gaussian_blobs data.img_size=400 data.num_views=$VIEWS \
   train_params.optim.num_iter="$STEPS" \
   train_params.validation.validate_every="$VAL_EVERY" \
-  train_params.log.epoch_btw_ckpt="$VAL_EVERY" train_params.log.epoch_btw_vis="$VIS_NEVER"
+  train_params.log.epoch_btw_ckpt="$VAL_EVERY" train_params.log.epoch_btw_vis="$VIS_NEVER" \
+  "${EXTRA[@]}"
 TRAIN_S=$(( $(date +%s) - START ))
 
 python -u -m torch_nerf_tpu.runners.run_render \
@@ -58,11 +64,12 @@ EOF
 
 python -u -m torch_nerf_tpu.runners.evaluate "$RENDER" "$GT" | tee /tmp/quality_eval.txt
 
-python -u - "$STEPS" "$TRAIN_S" "$ROUND" <<'EOF'
+python -u - "$STEPS" "$TRAIN_S" "$ROUND" "$TAG" <<'EOF'
 import json, re, sys
 from pathlib import Path
 
 steps, train_s, rnd = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+tag = sys.argv[4] if len(sys.argv) > 4 else ""
 eval_txt = Path("/tmp/quality_eval.txt").read_text()
 metrics = {
     k.lower(): float(v)
@@ -70,12 +77,21 @@ metrics = {
 }
 # the in-loop validation curve (val split @ 800^2) from the train log
 curve = []
-log = Path(f"/tmp/quality_r{rnd}") / "metrics.jsonl"
+log = Path(f"/tmp/quality_r{rnd}{tag}") / "metrics.jsonl"
 if log.exists():
     for line in log.read_text().splitlines():
         rec = json.loads(line)
         if "val/psnr" in rec:
-            curve.append({"step": rec["step"], "psnr": round(rec["val/psnr"], 3)})
+            curve.append(
+                {
+                    "step": rec["step"],
+                    "psnr": round(rec["val/psnr"], 3),
+                    "wall_s": rec.get("wall_s"),
+                }
+            )
+# the measured 31 dB crossing (validation-cadence granularity; wall_s
+# includes the in-loop validation overhead, so it upper-bounds pure train)
+crossing = next((c for c in curve if c["psnr"] >= 31.0), None)
 out = {
     "north_star": ">=31 dB PSNR on a lego-class 400^2 scene (BASELINE.json)",
     "scene": "gaussian_blobs procedural (no Blender data in this env; "
@@ -87,9 +103,11 @@ out = {
     "train_wall_seconds": train_s,
     "test_metrics": metrics,
     "val_psnr_curve": curve,
+    "time_to_31db_s": None if crossing is None else crossing["wall_s"],
+    "crossing_step": None if crossing is None else crossing["step"],
     "achieved": metrics.get("psnr", 0.0) >= 31.0,
 }
-dest = Path(f"QUALITY_r{rnd}.json")
+dest = Path(f"QUALITY_r{rnd}{tag}.json")
 dest.write_text(json.dumps(out, indent=2) + "\n")
 print(f"wrote {dest}: PSNR={metrics.get('psnr')}")
 EOF

@@ -49,6 +49,10 @@ class DataConfig:
     # train-at-half / evaluate-at-full contract, reference train.py:68)
     img_size: int = 64
     num_views: int = 8
+    # > 1 = multi-scene batched training (``torch_nerf_tpu.multiscene``):
+    # N procedural scenes (seeded variants) train concurrently in one
+    # jitted step with per-scene params/optimizer; gaussian_blobs only
+    num_scenes: int = 1
     # LLFF-only knobs
     factor: int = 8
     recenter: bool = True
@@ -240,9 +244,10 @@ def instant_nerf_tpu_config() -> ExperimentConfig:
     steps and 16x less wall time (NGP_QUALITY.json `bricked_L16F2_T19`;
     the round-3 packed/dual presets plateaued 4-6 dB below reference).
     Occupancy pruning stays opt-in (``occupancy.enabled=true``): on real
-    scenes with empty space its error is bounded by the density threshold,
-    but on soft/volumetric content it degenerates to even subsampling
-    (measured -4.6 dB on the procedural gaussian_blobs scene at 2:1).
+    scenes with empty space its error is bounded by the density threshold;
+    on soft/volumetric content it becomes a coarsened quadrature (kept
+    samples absorb dropped-occupied intervals) measured at -0.84 dB on the
+    procedural gaussian_blobs scene at 2:1 for a 1.8x step speedup.
     """
     cfg = instant_nerf_config()
     cfg.network.table_layout = "bricked"

@@ -29,6 +29,7 @@ class MetricsLogger:
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self._jsonl = open(self.log_dir / "metrics.jsonl", "a", buffering=1)
+        self._t0 = time.perf_counter()
         self._tb = None
         if use_tensorboard:
             try:
@@ -41,7 +42,9 @@ class MetricsLogger:
                 self._tb = None
 
     def log_scalars(self, step: int, scalars: Dict[str, float]) -> None:
-        record = {"step": int(step)}
+        # wall seconds since logger creation (~session start): lets offline
+        # consumers build metric-vs-wall-time curves (e.g. time-to-31dB)
+        record = {"step": int(step), "wall_s": round(time.perf_counter() - self._t0, 3)}
         record.update({k: float(v) for k, v in scalars.items()})
         self._jsonl.write(json.dumps(record) + "\n")
         if self._tb is not None:

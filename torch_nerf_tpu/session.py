@@ -261,10 +261,17 @@ def estimate_flops_per_step(cfg: cfg_mod.ExperimentConfig) -> float:
             (16 + sh_dim) * 64 + 64 * 64 + 64 * 3
         )
 
-    samples = r.num_samples_coarse
+    coarse = r.num_samples_coarse
+    fine = r.num_samples_coarse + r.num_samples_fine  # merged fine set
+    if cfg.occupancy.enabled:
+        # occupancy pruning executes only the static kept budgets
+        coarse = min(cfg.occupancy.keep_samples, coarse)
+        if cfg.occupancy.keep_samples_fine:
+            fine = min(cfg.occupancy.keep_samples_fine, fine)
+    samples = coarse
     if r.num_samples_fine > 0:
-        # hierarchical: fine net evaluates coarse+fine merged samples, and
-        # two networks exist (coarse pass + fine pass)
-        samples = r.num_samples_coarse + (r.num_samples_coarse + r.num_samples_fine)
+        # hierarchical: fine net evaluates the merged samples, and two
+        # networks exist (coarse pass + fine pass)
+        samples = coarse + fine
     points = r.num_pixels * samples
     return 3.0 * 2.0 * macs * points  # bwd ~= 2x fwd; 2 FLOPs per MAC
