@@ -48,6 +48,26 @@ class GaussianBlobScene:
         (0.25, 0.35, 0.95),
     )
 
+    @classmethod
+    def random(cls, seed: int, num_blobs: int = 4) -> "GaussianBlobScene":
+        """A randomized scene instance — the procedural stand-in for 'another
+        Blender scene' in multi-scene batched training (every seed gives a
+        distinct, deterministic arrangement of blobs)."""
+        rng = np.random.default_rng(seed)
+        centers = tuple(
+            tuple(float(x) for x in rng.uniform(-0.8, 0.8, 3)) for _ in range(num_blobs)
+        )
+        scales = tuple(float(x) for x in rng.uniform(0.2, 0.5, num_blobs))
+        amplitudes = tuple(float(x) for x in rng.uniform(6.0, 12.0, num_blobs))
+        colors = []
+        for _ in range(num_blobs):
+            c = rng.uniform(0.1, 1.0, 3)
+            c = c / c.max()  # keep one saturated channel per blob
+            colors.append(tuple(float(x) for x in c))
+        return cls(
+            centers=centers, scales=scales, amplitudes=amplitudes, colors=tuple(colors)
+        )
+
     def field(self, pts: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(sigma, rgb) of the analytic field at points (..., 3)."""
         mu = jnp.asarray(self.centers, jnp.float32)  # (K, 3)

@@ -70,6 +70,10 @@ def main(argv=None) -> None:
     log_dir.mkdir(parents=True, exist_ok=True)
     cfg_mod.save_config(cfg, stored_cfg)
 
+    if cfg.data.num_scenes > 1:
+        _run_multiscene(cfg, args, log_dir)
+        return
+
     dataset = session.build_dataset(cfg, split=cfg.data.data_type)
     settings = session.build_render_settings(cfg, dataset)
     field = session.build_field(cfg)
@@ -223,6 +227,158 @@ def main(argv=None) -> None:
     checkpoints.save_checkpoint(log_dir, state)
     logger.close()
     print(f"Training complete at step {int(state.step)}. Logs in {log_dir}.")
+
+
+def _run_multiscene(cfg, args, log_dir: Path) -> None:
+    """Multi-scene batched training (``torch_nerf_tpu.multiscene``): N
+    seeded procedural scenes in one jitted step, per-scene params and
+    per-scene validation PSNR reported from a single invocation.
+
+    Multi-device meshes shard the scene axis (scenes are independent — the
+    compiled step carries no collectives); the generic XLA field path is
+    used because Pallas kernels have no vmap batching rule.
+    """
+    from torch_nerf_tpu import multiscene
+    from torch_nerf_tpu.datasets import synthetic
+
+    if cfg.data.dataset_type != "gaussian_blobs":
+        raise ValueError(
+            "Multi-scene batched training uses the procedural gaussian_blobs "
+            f"scenes; got dataset_type='{cfg.data.dataset_type}'."
+        )
+    if cfg.network.type != "nerf":
+        raise ValueError("Multi-scene training supports network.type=nerf.")
+    num_scenes = cfg.data.num_scenes
+    scenes = [
+        synthetic.GaussianBlobScene.random(cfg.seed * 1000 + s)
+        for s in range(num_scenes)
+    ]
+
+    def build_split(split, size):
+        imgs, poses = [], []
+        for scene in scenes:
+            i, p, camera, _ = synthetic.make_dataset(
+                num_views=cfg.data.num_views, img_size=size, scene=scene, split=split
+            )
+            imgs.append(i)
+            poses.append(p)
+        return np.stack(imgs), np.stack(poses), camera
+
+    images, poses, camera = build_split("train", cfg.data.img_size)
+    val_size = cfg.data.img_size * (2 if cfg.data.half_res else 1)
+    val_images, val_poses, val_camera = build_split("val", val_size)
+
+    settings = session.build_render_settings(cfg)
+    # generic XLA field: Pallas kernels cannot batch under the scene vmap
+    cfg.parallel.use_pallas = False
+    field = session.build_field(cfg)
+    optim_cfg = session.build_optim_config(cfg)
+
+    state = multiscene.create_multiscene_state(
+        jax.random.PRNGKey(cfg.seed), field, settings, optim_cfg, num_scenes
+    )
+    restored = checkpoints.restore_latest(log_dir, state)
+    if restored is not None:
+        state = restored
+        print(f"Resumed from step {int(state.step)}.")
+
+    num_devices = jax.device_count()
+    mesh = None
+    if num_devices > 1 and cfg.parallel.data_axis_size != 1 and num_scenes % num_devices == 0:
+        from torch_nerf_tpu.parallel import make_mesh
+
+        mesh = make_mesh(("scene",))
+        print(f"Sharding {num_scenes} scenes over {num_devices} devices.")
+
+    def make_step(precrop):
+        return multiscene.make_multiscene_image_train_step(
+            field, settings, optim_cfg, camera, num_scenes,
+            num_pixels=cfg.renderer.num_pixels, precrop=precrop, mesh=mesh,
+        )
+
+    if mesh is not None:
+        build_pre, place_state = make_step(True)
+        build_full, _ = make_step(False)
+        state = place_state(state)
+        step_precrop = build_pre(state)
+        step_full = build_full(state)
+    else:
+        step_precrop = make_step(True)
+        step_full = make_step(False)
+
+    images_j, poses_j = jnp.asarray(images), jnp.asarray(poses)
+    logger = MetricsLogger(log_dir)
+    timer = StepTimer(rays_per_step=cfg.renderer.num_pixels * num_scenes)
+    key = jax.random.PRNGKey(cfg.seed + 1)
+    val_cfg = cfg.train_params.validation
+    log_cfg = cfg.train_params.log
+
+    steps_per_epoch = max(1, cfg.data.num_views)
+    total_steps = max(1, optim_cfg.num_iter // steps_per_epoch) * steps_per_epoch
+    if args.max_steps is not None:
+        total_steps = min(total_steps, args.max_steps)
+
+    for step_idx in range(int(state.step), total_steps):
+        epoch = step_idx // steps_per_epoch
+        key, sub = jax.random.split(key)
+        step_fn = step_precrop if epoch < 10 else step_full
+        state, metrics = step_fn(state, images_j, poses_j, sub)
+
+        perf = timer.tick(sync=metrics["loss"])
+        if (step_idx + 1) % 100 == 0:
+            scalars = {"train/loss": float(metrics["loss"])}
+            per_scene = np.asarray(metrics["coarse_loss"])
+            scalars.update(
+                {f"train/loss_scene{s}": float(v) for s, v in enumerate(per_scene)}
+            )
+            if perf:
+                scalars.update(perf)
+            logger.log_scalars(step_idx + 1, scalars)
+            print(
+                f"step {step_idx + 1}/{total_steps} "
+                + " ".join(f"{k.split('/')[-1]}={v:.5f}" for k, v in scalars.items())
+            )
+        end_of_epoch = (step_idx + 1) % steps_per_epoch == 0
+        if end_of_epoch:
+            epoch_done = (step_idx + 1) // steps_per_epoch
+            if epoch_done % log_cfg.epoch_btw_ckpt == 0:
+                checkpoints.save_checkpoint(log_dir, state)
+            if val_cfg.validate_every > 0 and epoch_done % val_cfg.validate_every == 0:
+                _validate_multiscene(
+                    cfg, field, state, val_images, val_poses, val_camera,
+                    settings, logger, step_idx + 1,
+                )
+
+    checkpoints.save_checkpoint(log_dir, state)
+    logger.close()
+    print(f"Training complete at step {int(state.step)}. Logs in {log_dir}.")
+
+
+def _validate_multiscene(
+    cfg, field, state, val_images, val_poses, val_camera, settings, logger, step
+) -> None:
+    from torch_nerf_tpu import multiscene
+
+    scalars = {}
+    psnrs = []
+    for s in range(val_images.shape[0]):
+        params = multiscene.scene_params(state, s)
+        img = render_image(
+            field, params["coarse"], params.get("fine"), val_camera,
+            jnp.asarray(val_poses[s, 0]), jax.random.PRNGKey(s), settings,
+            chunk_size=cfg.renderer.num_pixels,
+        )
+        pred = np.clip(np.asarray(img), 0.0, 1.0)
+        gt = np.asarray(val_images[s, 0]).reshape(pred.shape)
+        p = metrics_mod.psnr(pred, gt)
+        psnrs.append(p)
+        scalars[f"val/psnr_scene{s}"] = float(p)
+    scalars["val/psnr"] = float(np.mean(psnrs))
+    logger.log_scalars(step, scalars)
+    print(
+        f"validation @ step {step}: "
+        + " ".join(f"{k.split('/')[-1]}={v:.3f}" for k, v in scalars.items())
+    )
 
 
 def _validate(cfg, field, state, dataset, settings, logger, step) -> None:
