@@ -75,12 +75,11 @@ class NetworkConfig:
     min_res: int = 16
     max_res: int = 512
     # "hash" = reference-parity per-corner hashing (the default — identical
-    # math to the reference); "packed" = TPU-fast voxel-packed rows (~16x
-    # fewer gather indices but measured -4.5 dB novel-view PSNR from the
-    # missing cross-voxel coupling, NGP_QUALITY.json — VERDICT r1 required
-    # flipping the default back); "packed_dual" = packed plus a half-voxel-
-    # staggered second grid per level (cross-voxel coupling restored at
-    # 2 gathers/(point, level); the instant_nerf_tpu preset's layout)
+    # math to the reference, Pallas-accelerated on TPU); "bricked" =
+    # corner-SHARED 4^3-site bricks, one gather/(point, level) at -0.12 dB
+    # vs "hash" (the instant_nerf_tpu preset's layout, NGP_QUALITY.json);
+    # "packed"/"packed_dual" = the round-2/3 voxel-packed layouts (fastest,
+    # -4..-6 dB novel-view from per-voxel-private corner copies)
     table_layout: str = "hash"
 
 

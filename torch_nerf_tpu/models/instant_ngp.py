@@ -20,21 +20,24 @@ Reference quirks preserved deliberately (documented for parity):
   spatial hash is int32 with wraparound multiply and non-negative modulo
   (``instant_ngp.py:558-568``).
 
-Two table layouts:
+Four table layouts (one quality/speed trade-space; quality numbers from
+``scripts/experiments/packed_vs_hash_quality.py`` -> NGP_QUALITY.json):
 
 * ``"hash"`` — reference-parity per-corner hashing (8 hash lookups per
-  (point, level)), for numerical comparison against the reference.
-* ``"packed"`` — the TPU-fast layout: the voxel's floor corner is hashed
+  (point, level)). On TPU it runs through the per-corner scalar-gather
+  kernels of ``ops.pallas.hash_corner`` (~8x the XLA gather path),
+  identical math and gradients.
+* ``"bricked"`` — the PRODUCTION layout: table rows hold 4^3 lattice-site
+  patches with one-site overlap, so a voxel's corners always sit in one
+  brick — one gathered row per (point, level) with the sites SHARED
+  across each brick's 27 voxels (``ops.pallas.hash_brick``). Measured
+  -0.12 dB vs "hash" at equal steps and ~16x less wall time.
+* ``"packed"`` — the round-2 layout: the voxel's floor corner is hashed
   ONCE per (point, level) and all 8 corner feature vectors live in one
-  table row, stored lane-FOLDED as (L, rows/fold, 128) with
-  ``fold = 128 // (8F)`` so no lane padding exists anywhere (measured 8x
-  byte savings and ~2.5x scatter-rate gain at F=2 on v5e). Lookups run in
-  the Pallas kernels of ``ops.pallas.hash_fold`` (~200M rows/s gather,
-  ~140M rows/s gradient scatter vs 155M / 9M for XLA). Trade-off
-  (documented, opt-in): lattice corners are not shared between adjacent
-  voxels, so the encoded field can be discontinuous at voxel boundaries;
-  quality parity is settled empirically by ``scripts/experiments/
-  packed_vs_hash_quality.py`` (see PARITY.md).
+  lane-FOLDED table row (``ops.pallas.hash_fold``). Fastest, but corner
+  copies are per-voxel private and novel-view PSNR drops 4-6 dB.
+* ``"packed_dual"`` — packed plus a half-voxel-staggered second grid per
+  level (partial cross-voxel coupling; still ~4 dB below reference).
 """
 
 from __future__ import annotations
