@@ -521,3 +521,39 @@ def test_bricked_field_trains():
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5
+
+
+def test_corner_and_brick_kernels_odd_level_count():
+    """Group-reassembly edge case: L not a power of two (group=min(8,L))
+    exercises the per-group block layout in both kernels' backwards."""
+    pts = jnp.asarray(np.random.default_rng(2).uniform(-1.2, 1.2, (65, 3)), jnp.float32)
+
+    # per-corner kernel, L=3 F=4 (fold=32)
+    L = 3
+    tables = instant_ngp.init_hash_table(jax.random.PRNGKey(0), L, 9, 4)
+    res = jnp.asarray(instant_ngp.level_resolutions(L, 4, 16))
+
+    def loss_k(t):
+        return jnp.sum(instant_ngp.hash_encode_corner128(t, pts, res, interpret=True) ** 2)
+
+    def loss_x(t):
+        return jnp.sum(instant_ngp.hash_encode(t, pts, res) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_k)(tables)), np.asarray(jax.grad(loss_x)(tables)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    # brick kernel, L=5
+    L = 5
+    btables = instant_ngp.init_bricked_hash_table(jax.random.PRNGKey(1), L, 11, 2)
+    bres = jnp.asarray(instant_ngp.level_resolutions(L, 4, 32))
+
+    def bloss(t, interp):
+        return jnp.sum(instant_ngp.hash_encode_bricked128(t, pts, bres, 2, interpret=interp) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(lambda t: bloss(t, True))(btables)),
+        np.asarray(jax.grad(lambda t: bloss(t, False))(btables)),
+        rtol=1e-5, atol=1e-6,
+    )
