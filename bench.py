@@ -181,20 +181,23 @@ def main(
             out["tflops"] = round(flops_per_step * iters / elapsed / 1e12, 1)
             out["mfu"] = round(flops_per_step * iters / elapsed / peak, 3)
             # measured stage decomposition (scripts/experiments/
-            # flagship_step_decomposition.py on v5e): coarse kernel 9.6 ms
-            # (49.6% of peak), fine kernel 31.5 ms (45.1%), sampler 1.4 ms,
-            # Adam 2.9 ms — the stage sum exceeds the 42.3 ms full step, so
-            # sampler/Adam/glue are fully overlapped and the fused kernels
-            # ARE the step. The residual 2x to peak sits inside the kernel:
-            # inter-layer VPU work (ReLU, skip-concat, composite VJPs)
-            # serialized against the MXU chain, plus per-8-ray-tile weight-
-            # gradient accumulation; the (T, T) scan-mask design caps the
-            # tile at 8 rays x 192 samples (larger tiles exceed VMEM).
+            # flagship_step_decomposition.py on v5e, round 5 — after the
+            # (S, S) scan-mask redesign raised the tile to 24-32 rays):
+            # coarse kernel 10.0 ms (47.3% of peak), fine kernel 26.3 ms
+            # (54.1%), sampler 1.4 ms, Adam 2.5 ms — the stage sum exceeds
+            # the 37.2 ms full step, so sampler/Adam/glue overlap to a
+            # NEGATIVE residual and the fused kernels ARE the step. The
+            # residual to peak sits inside the kernel; three targeted VPU
+            # cuts (MXU bias-grad reductions, bf16 relu-mask min-trick,
+            # concat recompute) each moved throughput <1%, so the floor is
+            # not elementwise op count — see fused_train_ablation.py for
+            # the stage-isolated breakdown.
             out["bound"] = (
-                "fused kernels at 45-50% of bf16 peak are the whole step "
+                "fused kernels at 47-54% of bf16 peak are the whole step "
                 "(glue/sampler/Adam overlap to a negative residual); "
-                "in-kernel VPU-MXU serialization binds — see "
-                "flagship_step_decomposition.py"
+                "~86% is the MXU K/N-padding ceiling (63/319/257/283-wide "
+                "layers pad to 128 multiples); the rest is in-kernel "
+                "serialization — see fused_train_ablation.py"
             )
     print(json.dumps(out))
 

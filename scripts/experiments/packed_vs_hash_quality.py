@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries, decay=0.0, smooth=0.0, occ_keep=0, occ_threshold=1e-2):
+def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries, decay=0.0, smooth=0.0, occ_keep=0, occ_threshold=1e-2,
+                samples=128, init_lr=1e-2, end_lr=1e-3, width=64, pixels=1024):
     from torch_nerf_tpu import metrics, train
     from torch_nerf_tpu.fields_ngp import (
         make_encode_smoothness_loss,
@@ -43,16 +44,18 @@ def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries, de
     from torch_nerf_tpu.renderer import RenderSettings, render_image
 
     images, poses, camera, val = data
-    settings = RenderSettings(num_samples_coarse=128, num_samples_fine=0)
+    settings = RenderSettings(num_samples_coarse=samples, num_samples_fine=0)
     field = make_instant_ngp_field(
         num_level=num_level,
         log_max_entry_per_level=log2_entries,
         table_feat_dim=feat_dim,
+        density_feat_dim=width,
+        color_feat_dim=width,
         compute_dtype=jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32,
         table_layout=layout,
     )
     optim = train.OptimConfig(
-        num_iter=steps, init_lr=1e-2, end_lr=1e-3, eps=1e-15,
+        num_iter=steps, init_lr=init_lr, end_lr=end_lr, eps=1e-15,
         table_weight_decay=decay,
     )
     aux = None
@@ -71,7 +74,7 @@ def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries, de
             keep_samples=occ_keep, threshold=occ_threshold
         )
     step = train.make_image_train_step(
-        field, settings, optim, camera, num_pixels=1024, donate=True,
+        field, settings, optim, camera, num_pixels=pixels, donate=True,
         aux_loss_fn=aux, occupancy_cfg=occ_cfg,
     )
 
@@ -104,6 +107,11 @@ def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries, de
         + ("" if smooth == 0.0 else f"_sm{smooth:g}")
         + ("" if not occ_keep else f"_occ{occ_keep}")
         + ("" if occ_threshold == 1e-2 else f"_th{occ_threshold:g}")
+        + ("" if samples == 128 else f"_s{samples}")
+        + ("" if init_lr == 1e-2 else f"_lr{init_lr:g}")
+        + ("" if end_lr == 1e-3 else f"_elr{end_lr:g}")
+        + ("" if width == 64 else f"_w{width}")
+        + ("" if pixels == 1024 else f"_px{pixels}")
     )
     out = {
         "variant": name + tag,
@@ -165,6 +173,11 @@ def main():
     smooth = float(next((a.split("=")[1] for a in sys.argv if a.startswith("--smooth=")), 0.0))
     occ_keep = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--occupancy=")), 0))
     occ_threshold = float(next((a.split("=")[1] for a in sys.argv if a.startswith("--occ-threshold=")), 1e-2))
+    samples = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--samples=")), 128))
+    init_lr = float(next((a.split("=")[1] for a in sys.argv if a.startswith("--init-lr=")), 1e-2))
+    end_lr = float(next((a.split("=")[1] for a in sys.argv if a.startswith("--end-lr=")), 1e-3))
+    width = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--width=")), 64))
+    pixels = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--pixels=")), 1024))
     picks = [a for a in sys.argv[1:] if not a.startswith("--")]
     if not picks:
         picks = list(VARIANTS)
@@ -188,7 +201,8 @@ def main():
             run_variant(
                 n, lay, l, f, int(per_steps or steps), data,
                 log2_entries=log2, decay=decay, smooth=smooth, occ_keep=occ_keep,
-                occ_threshold=occ_threshold,
+                occ_threshold=occ_threshold, samples=samples, init_lr=init_lr,
+                end_lr=end_lr, width=width, pixels=pixels,
             )
         )
 

@@ -16,6 +16,8 @@ cd "$(dirname "$0")/../.."
 
 STEPS="${1:-20000}"
 ROUND="${2:-04}"
+# CONFIG=instant_nerf runs the hash-grid model through the same protocol
+CONFIG="${CONFIG:-default}"
 VIEWS=16
 # cadences are in EPOCHS (= STEPS/VIEWS steps each, reference semantics); val
 # renders are 5 full 800^2 frames (~3.2M rays each pass), so ~10 validations
@@ -34,12 +36,12 @@ rm -rf "$RUN" "$GT" "$RENDER"
 
 START=$(date +%s)
 python -u -m torch_nerf_tpu.runners.run_train \
-  --config default --log-dir "$RUN" --max-steps "$STEPS" \
+  --config "$CONFIG" --log-dir "$RUN" --max-steps "$STEPS" \
   data.dataset_type=gaussian_blobs data.img_size=400 data.num_views=$VIEWS \
   train_params.optim.num_iter="$STEPS" \
   train_params.validation.validate_every="$VAL_EVERY" \
   train_params.log.epoch_btw_ckpt="$VAL_EVERY" train_params.log.epoch_btw_vis="$VIS_NEVER" \
-  "${EXTRA[@]}"
+  ${EXTRA[@]+"${EXTRA[@]}"}
 TRAIN_S=$(( $(date +%s) - START ))
 
 python -u -m torch_nerf_tpu.runners.run_render \

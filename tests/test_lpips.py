@@ -95,3 +95,20 @@ def test_no_weights_means_unavailable(monkeypatch, tmp_path):
     monkeypatch.setenv("LPIPS_WEIGHTS", str(tmp_path / "missing"))
     monkeypatch.setenv("HOME", str(tmp_path))  # hide any real cache
     assert load_weights() is None
+
+
+def test_calibrated_weights_activate_evaluate():
+    """Auto-activates on machines that provisioned real weights (see
+    scripts/provision_lpips_weights.py): the evaluate path must then score
+    LPIPS with calibrated-range behavior. Skipped where no weights exist."""
+    w = load_weights()
+    if w is None:
+        pytest.skip("no LPIPS weights provisioned in this environment")
+    from torch_nerf_tpu import metrics
+
+    assert metrics.lpips_available()
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    noisy = np.clip(img + rng.normal(0, 0.2, img.shape), 0, 1).astype(np.float32)
+    assert metrics.lpips(img, img) == pytest.approx(0.0, abs=1e-6)
+    assert metrics.lpips(img, noisy) > 0.0

@@ -27,8 +27,17 @@ def ckpt_dir(log_dir: str | Path) -> Path:
     return Path(log_dir) / "ckpt"
 
 
-def save_checkpoint(log_dir: str | Path, state: TrainState) -> Path:
-    """Write ``<log_dir>/ckpt/ckpt_<step:06d>`` with the full train state."""
+def save_checkpoint(
+    log_dir: str | Path, state: TrainState, occ_grid=None
+) -> Path:
+    """Write ``<log_dir>/ckpt/ckpt_<step:06d>`` with the full train state.
+
+    ``occ_grid`` (the occupancy-pruning EMA-max grid, ~1 MB at R=64) is
+    stored as a sidecar ``ckpt_<step>.occ.npy`` so resume restores it
+    bit-exactly instead of approximating the EMA state with jittered
+    rebuild sweeps. Old checkpoints without the sidecar keep working (the
+    loader returns None and callers fall back to the sweep rebuild).
+    """
     step = int(jax.device_get(state.step))
     path = ckpt_dir(log_dir) / f"ckpt_{step:06d}"
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -42,7 +51,25 @@ def save_checkpoint(log_dir: str | Path, state: TrainState) -> Path:
             },
             force=True,
         )
+    if occ_grid is not None:
+        tmp = path.parent / f".{path.name}.occ.npy.tmp"
+        with open(tmp, "wb") as f:  # np.save on a handle keeps the exact name
+            np.save(f, np.asarray(jax.device_get(occ_grid)))
+        tmp.replace(occ_sidecar_path(path))
     return path
+
+
+def occ_sidecar_path(ckpt_path: str | Path) -> Path:
+    ckpt_path = Path(ckpt_path)
+    return ckpt_path.parent / f"{ckpt_path.name}.occ.npy"
+
+
+def load_occupancy_grid(ckpt_path: str | Path):
+    """Occupancy grid saved next to ``ckpt_path``, or None (old ckpts)."""
+    sidecar = occ_sidecar_path(ckpt_path)
+    if not sidecar.exists():
+        return None
+    return np.load(sidecar)
 
 
 def latest_checkpoint(log_dir: str | Path) -> Optional[Path]:

@@ -106,9 +106,16 @@ def load_blender(
     """
     if split not in ("train", "val", "test"):
         raise ValueError(f"Unsupported split '{split}'.")
-    if scene_name not in BLENDER_SCENES:
+    # canonical suite names load without existence pre-checks; any other
+    # name is accepted when a Blender-format directory for it exists
+    if (
+        scene_name not in BLENDER_SCENES
+        and not (Path(data_root) / scene_name / f"transforms_{split}.json").exists()
+    ):
         raise ValueError(
-            f"Unsupported scene '{scene_name}'. Expected one of {BLENDER_SCENES}."
+            f"Unsupported scene '{scene_name}'. Expected one of "
+            f"{BLENDER_SCENES} or a directory under {data_root} holding "
+            f"transforms_{split}.json."
         )
     base = Path(data_root) / scene_name
     meta = json.loads((base / f"transforms_{split}.json").read_text())

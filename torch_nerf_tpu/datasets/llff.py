@@ -197,7 +197,13 @@ def load_llff(
     img_dir = base / "images"
     if factor and factor > 1:
         minified_dir = base / f"images_{factor}"
-        if minified_dir.exists() and _list_images(minified_dir):
+        # a cache with fewer images than the source is stale (e.g. a crash
+        # mid-write before the atomic rename below existed): re-minify
+        cache_ok = (
+            minified_dir.exists()
+            and len(_list_images(minified_dir)) == len(_list_images(img_dir))
+        )
+        if cache_ok:
             files = _list_images(minified_dir)
             images = np.stack(
                 [_imread(f).astype(np.float32)[..., :3] / 255.0 for f in files]
@@ -209,13 +215,23 @@ def load_llff(
             ]
             # cache to the directory layout the reference's mogrify step
             # produces (load_llff.py:57-80) so subsequent loads skip the
-            # downsample; best-effort — read-only data roots just re-minify
+            # downsample. Written to a temp dir and renamed atomically so a
+            # crash mid-write never leaves a partial cache; best-effort —
+            # read-only data roots just re-minify.
             try:
-                minified_dir.mkdir(exist_ok=True)
+                import shutil  # noqa: PLC0415
+                import tempfile  # noqa: PLC0415
+
                 from torch_nerf_tpu.logging_utils import save_png  # noqa: PLC0415
 
+                tmp_dir = Path(
+                    tempfile.mkdtemp(prefix=f".images_{factor}.", dir=base)
+                )
                 for f, img in zip(files, minified):
-                    save_png(minified_dir / f"{f.stem}.png", img / 255.0)
+                    save_png(tmp_dir / f"{f.stem}.png", img / 255.0)
+                if minified_dir.exists():  # stale partial cache: replace it
+                    shutil.rmtree(minified_dir)
+                tmp_dir.rename(minified_dir)
             except OSError:
                 pass
             images = np.stack(minified).astype(np.float32) / 255.0

@@ -179,6 +179,21 @@ def hash_encode_corner128(
             f"hash_encode_corner128 packs L*F features into one 128-lane "
             f"line; got L={num_level}, F={feat_dim}"
         )
+    # The kernel reduces hashes with bitwise-AND modulo and reshapes the
+    # table to (T*F/128, 128) lines; a non-power-of-two T would silently
+    # hash differently from the XLA ``hash_encode`` path, and T*F < 128
+    # can't form one line. Reference configs (T=2^19) always satisfy both.
+    if num_entries & (num_entries - 1):
+        raise ValueError(
+            f"hash_encode_corner128 needs a power-of-two table size "
+            f"(bitwise-AND modulo); got num_entries={num_entries}"
+        )
+    if num_entries % (128 // feat_dim):
+        raise ValueError(
+            f"hash_encode_corner128 needs num_entries % (128 // feat_dim) "
+            f"== 0 to pack whole 128-lane lines; got T={num_entries}, "
+            f"F={feat_dim}"
+        )
     n = coords.shape[0]
     # tile=512 keeps the per-step SMEM index block (L*8*tile ints) within
     # Mosaic's rank-1 s32 T(1024) tiling for any L, and the backward's
@@ -195,11 +210,14 @@ def hash_encode_corner128(
         group=min(8, num_level),
         place_bf16=not interpret,
     )
-    # the full production batch (<=1.05M points) runs as ONE pallas call:
-    # the HBM-side (L*8, N) index streams are ~0.5 GB and stream fine,
-    # while a lax.map over chunks makes XLA stage each chunk's 67 MB output
-    # through scoped VMEM (observed OOM). Chunking only guards huge batches.
-    max_chunk = max(tile, (1 << 22) // tile * tile)
+    # the full production batch (4096 rays x 256 samples = 2^20 points) runs
+    # as ONE pallas call: the HBM-side (L*8, N) index streams are ~0.5 GB
+    # and stream fine, while a lax.map over chunks makes XLA stage each
+    # chunk's 67 MB output through scoped VMEM (observed OOM). Chunking
+    # guards bigger (render-time) batches; the cap is sized from L so the
+    # fwd+bwd index streams (2 x L*8*N int32 = L*64 bytes/point) stay
+    # within ~1 GB of HBM regardless of batch size (2^20 points at L=16).
+    max_chunk = max(tile, (1 << 30) // (num_level * 64) // tile * tile)
     chunk = min(max_chunk, -(-n // tile) * tile)
     padded_n = -(-n // chunk) * chunk
     # zero-padding is safe: integral scaled coords give all-zero weights

@@ -211,6 +211,15 @@ def prune_t_samples(
     m = jnp.minimum(jnp.sum(kept, axis=-1, keepdims=True), keep)  # kept count
     slot = jnp.arange(keep, dtype=jnp.int32)[None, :]
     e_next = jnp.concatenate([e_sel[:, 1:], jnp.zeros_like(e_sel[:, :1])], axis=-1)
+    # Tail absorption: the LAST kept sample's span runs to e_total, which
+    # includes the 1e8 delta sentinel when the final dense sample is occupied
+    # but dropped over-budget — its alpha then saturates to ~1 regardless of
+    # density. This is the consistent coarsening of the reference's own
+    # convention (``stratified_sampler.py:112-119`` gives the dense LAST
+    # sample the 1e8 sentinel, so it too absorbs all remaining transmittance
+    # whenever sigma > 0); pinning the ray's tail opacity to the last kept
+    # occupied sample preserves that semantic, but note it is what makes
+    # over-budget pruning lossy on soft scenes with no empty space.
     covered = jnp.where(slot + 1 < m, e_next - e_sel, e_total - e_sel)
     # kept slots get their covered occupied span; padding slots (unoccupied
     # fillers with ~zero density) keep their dense spacing

@@ -63,6 +63,13 @@ class FusedNeRFConfig:
     # vs 69k @ 2048, 68k @ 4096; >= 8192 exceeds the VMEM budget): smaller
     # tiles pipeline input/output DMA with MXU compute across grid steps.
     tile: int = 1024
+    # Point budget for the fully-fused TRAIN kernel tile (rays x samples).
+    # Larger than ``tile``: the round-5 (S, S) scan masks freed the VMEM the
+    # old (T, T) block-diagonal masks consumed. 4608 (24 rays x 192 samples)
+    # leaves ~9 MB for the whole-array-resident ray/sample columns
+    # (fused_train.py "resident" mode) inside the ~110 MB scoped-VMEM stack;
+    # 6144 measured within noise of 4608 before residency and OOMs with it.
+    train_tile: int = 4608
     compute_dtype: Any = jnp.bfloat16
     interpret: bool = False
 
@@ -162,6 +169,34 @@ def _mm_tn(a, b):
     )
 
 
+def _relu_grad(act, dh, dt):
+    """dh masked to act's relu support — ``dh * [act > 0]``.
+
+    bf16 path: the v5e VPU has no bf16 vector compare, and the f32
+    upcast + compare + select chain the earlier rounds used here cost
+    ~5 us per (6144, 256) tile per layer — the single largest VPU block
+    in the backward. ``min(act * 3.4e38, 1)`` computes the exact 0/1 step
+    in two bf16 ops: bf16 has no denormals, so any positive activation is
+    >= 2^-126 and saturates past 1 (2^-126 * 3.4e38 = 4.0); zero stays
+    zero. f32/interpret path keeps the compare (f32 CPU denormals would
+    make the product trick inexact).
+    """
+    if act.dtype == jnp.bfloat16:
+        mask = jnp.minimum(act * jnp.asarray(3.389e38, act.dtype), 1.0)
+        return (dh * mask).astype(dt)
+    return jnp.where(act.astype(jnp.float32) > 0, dh, 0.0).astype(dt)
+
+
+def _col_sum(dz):
+    """(T, C) -> (1, C) f32 column sums via a ones-row MXU matmul.
+
+    ``jnp.sum(dz.astype(f32), axis=0)`` is a cross-SUBLANE VPU reduction
+    preceded by a (T, C) dtype conversion — ~2.5 us per 6144x256 tile, paid
+    once per layer per tile; the MXU does the same contraction in ~0.1 us."""
+    ones = jnp.ones((1, dz.shape[0]), dz.dtype)
+    return jnp.dot(ones, dz, preferred_element_type=jnp.float32)
+
+
 def _mm_nt(a, w, dtype):
     """a @ w^T contracting the output axis (backward dh)."""
     return jax.lax.dot_general(
@@ -225,20 +260,32 @@ def _weight_refs_to_tree(refs):
 # forward
 
 
-def _forward_tile(pts, dirs, w, pos_tables, dir_tables, cfg: FusedNeRFConfig):
-    """Forward math on one (T, ...) tile in kernel layout."""
+def _forward_tile(
+    pts, dirs, w, pos_tables, dir_tables, cfg: FusedNeRFConfig,
+    keep_spreads: bool = True,
+):
+    """Forward math on one (T, ...) tile in kernel layout.
+
+    ``keep_spreads=False`` drops the f32 encode-spread activations (only the
+    encode VJP consumes them — the loss-fused train kernel skips input
+    grads, and the (T, 90) f32 pair costs ~2.2 MB of VMEM at its tile)."""
     dt = cfg.compute_dtype
     fd = cfg.feat_dim
     pe, pe_spread = _encode_fast(pts, pos_tables, dt)
     de, de_spread = _encode_fast(dirs, dir_tables, dt)
 
-    acts = {"pe": pe, "de": de, "pe_spread": pe_spread, "de_spread": de_spread}
+    acts = {"pe": pe, "de": de}
+    if keep_spreads:
+        acts["pe_spread"] = pe_spread
+        acts["de_spread"] = de_spread
     h = pe
     for name in _PRE_SKIP:
         h = jnp.maximum(_mm(h, w[name]["w"], dt) + w[name]["b"], 0.0)
         acts[name] = h
+    # the concats are NOT stored as activations: backward rebuilds them from
+    # their stored parts (h4/pe, z8/de) — together they would cost ~9 MB of
+    # VMEM per 6144-point tile for data that already lives there
     cat5 = jnp.concatenate([h, pe], axis=-1)  # kernel layout: [h4, pe]
-    acts["cat5"] = cat5
     h = cat5
     for name in _POST_SKIP:
         h = jnp.maximum(_mm(h, w[name]["w"], dt) + w[name]["b"], 0.0)
@@ -247,7 +294,6 @@ def _forward_tile(pts, dirs, w, pos_tables, dir_tables, cfg: FusedNeRFConfig):
     acts["z8"] = z8
     sigma = jnp.maximum(z8[:, fd:].astype(jnp.float32), 0.0)  # (T, 1)
     cat9 = jnp.concatenate([z8[:, :fd], de], axis=-1)
-    acts["cat9"] = cat9
     h9 = jnp.maximum(_mm(cat9, w["fc_9"]["w"], dt) + w["fc_9"]["b"], 0.0)
     acts["fc_9"] = h9
     z_out = _mm(h9, w["fc_out"]["w"], dt) + w["fc_out"]["b"]
@@ -298,17 +344,12 @@ def _backward_tile(
 
     rgb = acts["rgb"]
     dz_out = (g_rgb * rgb * (1.0 - rgb)).astype(dt)
-    grads["fc_out"] = (
-        _mm_tn(acts["fc_9"], dz_out),
-        jnp.sum(dz_out.astype(jnp.float32), axis=0),
-    )
+    grads["fc_out"] = (_mm_tn(acts["fc_9"], dz_out), _col_sum(dz_out))
     dh9 = _mm_nt(dz_out, w["fc_out"]["w"], dt)
-    dz9 = jnp.where(acts["fc_9"].astype(jnp.float32) > 0, dh9, 0.0).astype(dt)
+    dz9 = _relu_grad(acts["fc_9"], dh9, dt)
 
-    grads["fc_9"] = (
-        _mm_tn(acts["cat9"], dz9),
-        jnp.sum(dz9.astype(jnp.float32), axis=0),
-    )
+    cat9 = jnp.concatenate([acts["z8"][:, :fd], acts["de"]], axis=-1)
+    grads["fc_9"] = (_mm_tn(cat9, dz9), _col_sum(dz9))
     dcat9 = _mm_nt(dz9, w["fc_9"]["w"], dt)
     dfeat = dcat9[:, :fd]
     dde = dcat9[:, fd:].astype(jnp.float32)
@@ -317,19 +358,14 @@ def _backward_tile(
     z8 = acts["z8"]
     dsig = jnp.where(z8[:, fd:].astype(jnp.float32) > 0, g_sigma, 0.0).astype(dt)
     dz8 = jnp.concatenate([dfeat, dsig], axis=-1).astype(dt)
-    grads["fc_8"] = (
-        _mm_tn(acts["fc_7"], dz8),
-        jnp.sum(dz8.astype(jnp.float32), axis=0),
-    )
+    grads["fc_8"] = (_mm_tn(acts["fc_7"], dz8), _col_sum(dz8))
     dh = _mm_nt(dz8, w["fc_8"]["w"], dt)
 
-    post_inputs = {"fc_5": acts["cat5"], "fc_6": acts["fc_5"], "fc_7": acts["fc_6"]}
+    cat5 = jnp.concatenate([acts["fc_4"], acts["pe"]], axis=-1)
+    post_inputs = {"fc_5": cat5, "fc_6": acts["fc_5"], "fc_7": acts["fc_6"]}
     for name in reversed(_POST_SKIP):
-        dz = jnp.where(acts[name].astype(jnp.float32) > 0, dh, 0.0).astype(dt)
-        grads[name] = (
-            _mm_tn(post_inputs[name], dz),
-            jnp.sum(dz.astype(jnp.float32), axis=0),
-        )
+        dz = _relu_grad(acts[name], dh, dt)
+        grads[name] = (_mm_tn(post_inputs[name], dz), _col_sum(dz))
         dh = _mm_nt(dz, w[name]["w"], dt)
 
     # skip split in kernel layout: cat5 = [h4, pe]
@@ -344,11 +380,8 @@ def _backward_tile(
         "fc_4": acts["fc_3"],
     }
     for name in reversed(_PRE_SKIP):
-        dz = jnp.where(acts[name].astype(jnp.float32) > 0, dh, 0.0).astype(dt)
-        grads[name] = (
-            _mm_tn(pre_inputs[name], dz),
-            jnp.sum(dz.astype(jnp.float32), axis=0),
-        )
+        dz = _relu_grad(acts[name], dh, dt)
+        grads[name] = (_mm_tn(pre_inputs[name], dz), _col_sum(dz))
         dh = _mm_nt(dz, w[name]["w"], dt)
     dpe = dpe + dh.astype(jnp.float32)
 
@@ -418,7 +451,7 @@ def _compiler_params(cfg: FusedNeRFConfig):
         return None
     # v5e/v4 have 128 MiB of physical VMEM; the default 16 MiB scoped limit
     # rejects the grad accumulators + activations at large tiles.
-    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    return pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

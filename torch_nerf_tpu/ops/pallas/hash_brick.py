@@ -88,29 +88,59 @@ def bricks_per_level(log_max_entry_per_level: int, feat_dim: int) -> int:
     return total // LANES
 
 
-def _site_coords(feat_dim: int):
-    """Per-lane site coordinates (1, 128) f32 along x, y, z."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    site = lane // feat_dim  # 0..63
-    e = BRICK_EDGE
-    return (
-        (site // (e * e)).astype(jnp.float32),
-        ((site // e) % e).astype(jnp.float32),
-        (site % e).astype(jnp.float32),
-    )
+@functools.lru_cache(maxsize=None)
+def _expand_consts(num_level: int, feat_dim: int):
+    """Constants for the batched weight-line pipeline (numpy, host-built).
 
-
-def _weight_line_and_slotless(coords, res, feat_dim: int):
-    """(wline (tile, 128) f32, brick hash h (tile, 1) int32) for one level.
-
-    ``wline`` carries the trilinear corner weights at the voxel's 8 site
-    lanes (zero elsewhere); ``h`` is the un-modded brick spatial hash.
+    ``e_mat`` (L, 4L): broadcasts a per-level column to its 4 site-coordinate
+    lanes. ``exp[axis]`` (L*4L, 128): block ``l`` is the 0/1 selection matrix
+    taking the (tile, 4L) per-axis weight array to level ``l``'s (tile, 128)
+    weight factor — exp_l[(lv, j), lane] = [lv == l][site_axis(lane) == j].
     """
-    sites = _site_coords(feat_dim)
-    w = None
-    h = None
+    lanes4 = 4 * num_level
+    e_mat = np.zeros((num_level, lanes4), np.float32)
+    for lv in range(num_level):
+        e_mat[lv, lv * 4 : (lv + 1) * 4] = 1.0
+    lane = np.arange(LANES)
+    site = lane // feat_dim
+    e = BRICK_EDGE
+    s_axis = (site // (e * e), (site // e) % e, site % e)
+    exp = []
     for axis in range(3):
-        scaled = coords[:, axis : axis + 1] * res  # (tile, 1)
+        m = np.zeros((num_level * lanes4, LANES), np.float32)
+        for lv in range(num_level):
+            for j in range(BRICK_EDGE):
+                m[lv * lanes4 + lv * 4 + j, :] = s_axis[axis] == j
+        exp.append(m)
+    return e_mat, exp[0], exp[1], exp[2]
+
+
+def _weight_batch(coords, res_row, e_mat, split_bf16: bool):
+    """Per-axis trilinear site weights for ALL levels: 3 x (tile, 4L).
+
+    Lane (lv, j) of axis a holds the reference's axis weight of site
+    coordinate ``j`` at level ``lv``:
+
+        wa = max(0, span - |(j - local) - frac|)
+
+    which is BIT-equal to the reference's select form
+    (``instant_ngp.py:442-475``): at j == local it is span - frac exactly;
+    at j == local + 1 it is span - (1 - frac) = frac when span == 1 (1 - frac
+    is exact by Sterbenz); elsewhere it clamps to 0 — including the
+    all-zero-at-integral-coordinates quirk (span = 0).
+
+    ``split_bf16``: emit (hi, lo) bf16 pairs summing to the f32 weight to
+    2^-17 relative — the level-expansion matmuls then run at the MXU's bf16
+    rate with f32 accumulation (one (tile, 8L) @ (8L, 128) matmul per axis
+    per level instead of a 17-op VPU chain). False (interpret/CPU) keeps
+    exact f32 operands.
+    """
+    lanes4 = e_mat.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes4), 1)
+    j = (lane % BRICK_EDGE).astype(jnp.float32)
+    outs = []
+    for axis in range(3):
+        scaled = coords[:, axis : axis + 1] * res_row  # (tile, L)
         v = jnp.floor(scaled)
         span = jnp.ceil(scaled) - v  # 0 when scaled is integral
         frac = scaled - v
@@ -118,14 +148,49 @@ def _weight_line_and_slotless(coords, res, feat_dim: int):
         # for negatives exactly (|v| < 2^22 so v/3 floors correctly in f32)
         b = jnp.floor(v / float(STRIDE))
         local = v - float(STRIDE) * b  # in [0, STRIDE]
-        sa = sites[axis]  # (1, 128)
-        wa = jnp.where(sa == local, span - frac, 0.0) + jnp.where(
-            sa == local + 1.0, frac, 0.0
+
+        def bcast(x):
+            return jnp.dot(x, e_mat, preferred_element_type=jnp.float32)
+
+        d = (j - bcast(local)) - bcast(frac)
+        wa = jnp.maximum(bcast(span) - jnp.abs(d), 0.0)  # (tile, 4L) f32
+        if split_bf16:
+            hi = wa.astype(jnp.bfloat16)
+            lo = (wa - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            outs.append(jnp.concatenate([hi, lo], axis=-1))  # (tile, 8L)
+        else:
+            outs.append(wa)
+    return outs
+
+
+def _expand_arrays(num_level: int, feat_dim: int, split_bf16: bool):
+    """Kernel-input expansion matrices. Split mode doubles each level block
+    ([M; M], bf16) so the (hi | lo) weight pair contracts in ONE matmul with
+    f32 accumulation — exact reconstruction of the f32 weights to 2^-17."""
+    _, ex, ey, ez = _expand_consts(num_level, feat_dim)
+    lanes4 = 4 * num_level
+    out = []
+    for m in (ex, ey, ez):
+        blocks = m.reshape(num_level, lanes4, LANES)
+        if split_bf16:
+            blocks = np.concatenate([blocks, blocks], axis=1)
+        out.append(
+            jnp.asarray(
+                blocks.reshape(-1, LANES),
+                dtype=jnp.bfloat16 if split_bf16 else jnp.float32,
+            )
         )
-        w = wa if w is None else w * wa
-        bi = b.astype(jnp.int32) * jnp.int32(_PRIMES_I32[axis])
-        h = bi if h is None else jnp.bitwise_xor(h, bi)
-    return w, h
+    return out
+
+
+def _level_wline(wa3, exp_refs, level, krows):
+    """Level ``level``'s (tile, 128) trilinear weight line from the batched
+    per-axis weights: one selection matmul per axis + two multiplies."""
+    factors = []
+    for wa, exp_ref in zip(wa3, exp_refs):
+        m = exp_ref[pl.ds(level * krows, krows), :]
+        factors.append(jnp.dot(wa, m, preferred_element_type=jnp.float32))
+    return factors[0] * factors[1] * factors[2]
 
 
 def prep_indices(coords, resolutions, cfg: BrickCfg):
@@ -160,11 +225,25 @@ def prep_indices(coords, resolutions, cfg: BrickCfg):
 # forward
 
 
-def _fwd_kernel(res_ref, idx_ref, coords_ref, table_ref, out_ref, rows_ref, *, cfg):
-    """One point-tile, all levels: one gathered row per (point, level)."""
+def _fwd_kernel(
+    res_row_ref, e_ref, ex_ref, ey_ref, ez_ref, idx_ref, coords_ref,
+    table_ref, out_ref, rows_ref, *, cfg,
+):
+    """One point-tile, all levels: one gathered row per (point, level).
+
+    The trilinear weight lines are formed by the batched pipeline (module
+    docstring): per-axis site weights for ALL levels once per tile
+    (``_weight_batch``), then per level one selection matmul per axis + two
+    multiplies — replacing the former 17-op-per-level VPU chain that was the
+    measured 47-of-82-ms bound of the encode (BENCH_NGP_r04 roofline).
+    """
     tile = cfg.tile
     unroll = cfg.fwd_unroll if tile % cfg.fwd_unroll == 0 else 1
     coords = coords_ref[:].astype(jnp.float32)
+    split = cfg.place_bf16
+    wa3 = _weight_batch(coords, res_row_ref[:], e_ref[:], split)
+    krows = 4 * cfg.num_level * (2 if split else 1)
+    exp_refs = (ex_ref, ey_ref, ez_ref)
 
     def level_body(level, acc):
         base = level * tile
@@ -178,7 +257,7 @@ def _fwd_kernel(res_ref, idx_ref, coords_ref, table_ref, out_ref, rows_ref, *, c
             return carry
 
         jax.lax.fori_loop(0, tile // unroll, body, 0)
-        wline, _ = _weight_line_and_slotless(coords, res_ref[level], cfg.feat_dim)
+        wline = _level_wline(wa3, exp_refs, level, krows)
         prod = rows_ref[:] * wline
         return acc + _place(prod, level, cfg.feat_dim, transpose=False, bf16=cfg.place_bf16)
 
@@ -187,15 +266,30 @@ def _fwd_kernel(res_ref, idx_ref, coords_ref, table_ref, out_ref, rows_ref, *, c
     )
 
 
+def _const_vmem_specs(arrays):
+    return [
+        pl.BlockSpec(a.shape, (lambda i, nd=a.ndim: (0,) * nd), memory_space=pltpu.VMEM)
+        for a in arrays
+    ]
+
+
+def _weight_consts(resolutions, cfg: BrickCfg):
+    e_mat, _, _, _ = _expand_consts(cfg.num_level, cfg.feat_dim)
+    ex, ey, ez = _expand_arrays(cfg.num_level, cfg.feat_dim, cfg.place_bf16)
+    res_row = resolutions.astype(jnp.float32).reshape(1, cfg.num_level)
+    return [res_row, jnp.asarray(e_mat), ex, ey, ez]
+
+
 def _fwd_pallas(tables_flat, idx_fwd, coords, resolutions, cfg: BrickCfg):
     n = coords.shape[0]
     num_tiles = n // cfg.tile
     lt = cfg.num_level * cfg.tile
+    consts = _weight_consts(resolutions, cfg)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, cfg=cfg),
         grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+        in_specs=_const_vmem_specs(consts)
+        + [
             pl.BlockSpec((lt,), lambda t: (t,), memory_space=pltpu.SMEM),
             pl.BlockSpec((cfg.tile, 3), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # whole tables, resident
@@ -209,7 +303,7 @@ def _fwd_pallas(tables_flat, idx_fwd, coords, resolutions, cfg: BrickCfg):
         if cfg.interpret
         else pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=cfg.interpret,
-    )(resolutions.astype(jnp.float32), idx_fwd, coords, tables_flat)
+    )(*consts, idx_fwd, coords, tables_flat)
 
 
 def _fwd_xla(tables_flat, coords, resolutions, cfg: BrickCfg):
@@ -264,7 +358,10 @@ def brick_prep(coords, resolutions, num_bricks: int, feat_dim: int):
 # backward
 
 
-def _bwd_kernel(res_ref, idx_ref, coords_ref, g_ref, *rest, cfg):
+def _bwd_kernel(
+    res_row_ref, e_ref, ex_ref, ey_ref, ez_ref, idx_ref, coords_ref, g_ref,
+    *rest, cfg,
+):
     group_refs = rest[: cfg.group]
     vals_ref = rest[cfg.group]
     tile = cfg.tile
@@ -277,10 +374,14 @@ def _bwd_kernel(res_ref, idx_ref, coords_ref, g_ref, *rest, cfg):
 
     coords = coords_ref[:].astype(jnp.float32)
     g = g_ref[:].astype(jnp.float32)
+    split = cfg.place_bf16
+    wa3 = _weight_batch(coords, res_row_ref[:], e_ref[:], split)
+    krows = 4 * cfg.num_level * (2 if split else 1)
+    exp_refs = (ex_ref, ey_ref, ez_ref)
 
     def vals_body(level, carry):
         dprod = _place(g, level, cfg.feat_dim, transpose=True, bf16=cfg.place_bf16)
-        wline, _ = _weight_line_and_slotless(coords, res_ref[level], cfg.feat_dim)
+        wline = _level_wline(wa3, exp_refs, level, krows)
         vals_ref[pl.ds(level * tile, tile), :] = dprod * wline
         return carry
 
@@ -309,11 +410,12 @@ def _bwd_pallas(g128, idx_bwd, coords, resolutions, cfg: BrickCfg):
     lt = cfg.num_level * cfg.tile
     group = cfg.group
     per_group = -(-cfg.num_level // group)
+    consts = _weight_consts(resolutions, cfg)
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, cfg=cfg),
         grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+        in_specs=_const_vmem_specs(consts)
+        + [
             pl.BlockSpec((lt,), lambda t: (t,), memory_space=pltpu.SMEM),
             pl.BlockSpec((cfg.tile, 3), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((cfg.tile, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM),
@@ -328,7 +430,7 @@ def _bwd_pallas(g128, idx_bwd, coords, resolutions, cfg: BrickCfg):
         if cfg.interpret
         else pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=cfg.interpret,
-    )(resolutions.astype(jnp.float32), idx_bwd, coords, g128)
+    )(*consts, idx_bwd, coords, g128)
     dtables = [
         outs[l % group][(l // group) * cfg.num_bricks : (l // group + 1) * cfg.num_bricks]
         for l in range(cfg.num_level)

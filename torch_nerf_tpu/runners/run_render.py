@@ -31,6 +31,13 @@ def parse_args(argv=None):
         help="render the dataset's poses instead of the novel-view path",
     )
     parser.add_argument("--num-views", type=int, default=None, help="cap rendered views")
+    parser.add_argument(
+        "--scene",
+        type=int,
+        default=0,
+        help="for multi-scene runs (data.num_scenes > 1): which scene's "
+        "parameters/dataset to render",
+    )
     parser.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     return parser.parse_args(argv)
 
@@ -47,18 +54,50 @@ def main(argv=None) -> None:
     # like the reference render CLI, always load the TEST split at FULL
     # resolution (render.py:44-45 forces data_type="test", half_res=False);
     # --render-test-views only switches which poses are rendered
-    dataset = session.build_dataset(cfg, split="test")
+    multi = cfg.data.num_scenes > 1
+    if multi:
+        if not 0 <= args.scene < cfg.data.num_scenes:
+            raise ValueError(
+                f"--scene {args.scene} out of range for a "
+                f"{cfg.data.num_scenes}-scene run."
+            )
+        dataset = session.build_multiscene_dataset(cfg, args.scene, split="test")
+    else:
+        dataset = session.build_dataset(cfg, split="test")
     settings = session.build_render_settings(cfg, dataset)
     field = session.build_field(cfg)
     optim_cfg = session.build_optim_config(cfg)
 
-    template = train.create_train_state(
-        jax.random.PRNGKey(cfg.seed), field, settings, optim_cfg
-    )
-    state = checkpoints.restore_latest(log_dir, template)
-    if state is None:
-        raise FileNotFoundError(f"No checkpoint found under {log_dir}/ckpt.")
-    print(f"Loaded checkpoint at step {int(state.step)}.")
+    if multi:
+        # restore the STACKED multiscene state, then slice out one scene's
+        # parameter pytree (reference render contract for any trained run:
+        # /root/reference/torch_nerf/runners/render.py:110-210)
+        from torch_nerf_tpu import multiscene  # noqa: PLC0415
+
+        template = multiscene.create_multiscene_state(
+            jax.random.PRNGKey(cfg.seed), field, settings, optim_cfg,
+            cfg.data.num_scenes,
+        )
+        stacked = checkpoints.restore_latest(log_dir, template)
+        if stacked is None:
+            raise FileNotFoundError(f"No checkpoint found under {log_dir}/ckpt.")
+        state = train.TrainState(
+            step=stacked.step,
+            params=multiscene.scene_params(stacked, args.scene),
+            opt_state=None,
+        )
+        print(
+            f"Loaded scene {args.scene} of a {cfg.data.num_scenes}-scene "
+            f"checkpoint at step {int(state.step)}."
+        )
+    else:
+        template = train.create_train_state(
+            jax.random.PRNGKey(cfg.seed), field, settings, optim_cfg
+        )
+        state = checkpoints.restore_latest(log_dir, template)
+        if state is None:
+            raise FileNotFoundError(f"No checkpoint found under {log_dir}/ckpt.")
+        print(f"Loaded checkpoint at step {int(state.step)}.")
 
     poses = dataset.poses if args.render_test_views else dataset.render_poses
     if args.num_views is not None:

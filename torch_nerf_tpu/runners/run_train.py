@@ -84,7 +84,10 @@ def main(argv=None) -> None:
     state = train.create_train_state(
         jax.random.PRNGKey(cfg.seed), field, settings, optim_cfg
     )
-    restored = checkpoints.restore_latest(log_dir, state)
+    ckpt_path = checkpoints.latest_checkpoint(log_dir)
+    restored = (
+        checkpoints.load_checkpoint(ckpt_path, state) if ckpt_path else None
+    )
     if restored is not None:
         state = restored
         print(f"Resumed from step {int(state.step)}.")
@@ -95,21 +98,27 @@ def main(argv=None) -> None:
 
         occ_grid = occ_mod.init_grid(occ_cfg)
         if restored is not None and int(state.step) > 0:
-            # the grid is derived state (not checkpointed): rebuild it from
-            # the restored field immediately so a resume past warmup_steps
-            # never prunes against an empty grid. Several sweeps with
-            # distinct jitter keys approximate the EMA-max steady state —
-            # one draw per cell can miss thin features and prune them for
-            # up to update_every steps after resume.
-            rebuild = jax.jit(
-                lambda g, p, k: occ_mod.update_grid(
-                    g, occ_mod.make_density_fn(field), p, k, occ_cfg
+            saved_grid = checkpoints.load_occupancy_grid(ckpt_path)
+            if saved_grid is not None:
+                # exact resume: the EMA-max grid is checkpointed alongside
+                # the train state (sidecar .occ.npy)
+                occ_grid = jnp.asarray(saved_grid)
+            else:
+                # old checkpoint without the sidecar: rebuild the grid from
+                # the restored field so a resume past warmup_steps never
+                # prunes against an empty grid. Several sweeps with distinct
+                # jitter keys approximate the EMA-max steady state — one
+                # draw per cell can miss thin features and prune them for
+                # up to update_every steps after resume.
+                rebuild = jax.jit(
+                    lambda g, p, k: occ_mod.update_grid(
+                        g, occ_mod.make_density_fn(field), p, k, occ_cfg
+                    )
                 )
-            )
-            for sweep in range(8):
-                occ_grid = rebuild(
-                    occ_grid, state.params, jax.random.PRNGKey(cfg.seed + 2 + sweep)
-                )
+                for sweep in range(8):
+                    occ_grid = rebuild(
+                        occ_grid, state.params, jax.random.PRNGKey(cfg.seed + 2 + sweep)
+                    )
 
     camera = dataset.camera
     images_j = jnp.asarray(dataset.flat_images())
@@ -216,7 +225,7 @@ def main(argv=None) -> None:
         if end_of_epoch:
             epoch_done = (step_idx + 1) // steps_per_epoch
             if epoch_done % log_cfg.epoch_btw_ckpt == 0:
-                checkpoints.save_checkpoint(log_dir, state)
+                checkpoints.save_checkpoint(log_dir, state, occ_grid=occ_grid)
             if val_dataset is not None and epoch_done % val_cfg.validate_every == 0:
                 _validate(cfg, field, state, val_dataset, settings, logger, step_idx + 1)
             if epoch_done % log_cfg.epoch_btw_vis == 0:
@@ -224,53 +233,73 @@ def main(argv=None) -> None:
                     cfg, field, state, camera, dataset, settings, log_dir, epoch_done
                 )
 
-    checkpoints.save_checkpoint(log_dir, state)
+    checkpoints.save_checkpoint(log_dir, state, occ_grid=occ_grid)
     logger.close()
     print(f"Training complete at step {int(state.step)}. Logs in {log_dir}.")
 
 
+def _scene_mesh_size(num_scenes: int, num_devices: int) -> int:
+    """Largest device count <= num_devices that divides num_scenes."""
+    for d in range(min(num_scenes, num_devices), 0, -1):
+        if num_scenes % d == 0:
+            return d
+    return 1
+
+
 def _run_multiscene(cfg, args, log_dir: Path) -> None:
     """Multi-scene batched training (``torch_nerf_tpu.multiscene``): N
-    seeded procedural scenes in one jitted step, per-scene params and
-    per-scene validation PSNR reported from a single invocation.
+    scenes — seeded procedural scenes or a comma-separated list of
+    Blender-format scenes (``data.scene_name=lego,ship``) — in one jitted
+    step, per-scene params and per-scene validation PSNR from a single
+    invocation.
 
-    Multi-device meshes shard the scene axis (scenes are independent — the
-    compiled step carries no collectives); the generic XLA field path is
-    used because Pallas kernels have no vmap batching rule.
+    Step builder: on TPU (any device count) or multi-device meshes, scenes
+    shard over a ``shard_map`` mesh and each device runs the UNBATCHED
+    per-scene step, so the Pallas kernels (fused NeRF, NGP hash) run as-is;
+    the single-device-CPU fallback vmaps the generic XLA field (Pallas
+    kernels carry no vmap batching rule). Scenes are independent either
+    way — the step carries no cross-scene collectives.
     """
     from torch_nerf_tpu import multiscene
-    from torch_nerf_tpu.datasets import synthetic
 
-    if cfg.data.dataset_type != "gaussian_blobs":
-        raise ValueError(
-            "Multi-scene batched training uses the procedural gaussian_blobs "
-            f"scenes; got dataset_type='{cfg.data.dataset_type}'."
-        )
-    if cfg.network.type != "nerf":
-        raise ValueError("Multi-scene training supports network.type=nerf.")
     num_scenes = cfg.data.num_scenes
-    scenes = [
-        synthetic.GaussianBlobScene.random(cfg.seed * 1000 + s)
-        for s in range(num_scenes)
-    ]
 
-    def build_split(split, size):
-        imgs, poses = [], []
-        for scene in scenes:
-            i, p, camera, _ = synthetic.make_dataset(
-                num_views=cfg.data.num_views, img_size=size, scene=scene, split=split
-            )
-            imgs.append(i)
-            poses.append(p)
-        return np.stack(imgs), np.stack(poses), camera
+    def build_split(split):
+        sets = [
+            session.build_multiscene_dataset(cfg, s, split)
+            for s in range(num_scenes)
+        ]
+        cam = sets[0].camera
+        for d in sets[1:]:
+            if d.camera != cam:
+                raise ValueError(
+                    "Multi-scene batching stacks scene pools into one "
+                    "array, so all scenes must share camera intrinsics; "
+                    f"got {d.camera} vs {cam}."
+                )
+            if d.images.shape != sets[0].images.shape:
+                raise ValueError(
+                    "All scenes must have equal view counts/resolutions "
+                    f"to stack; got {d.images.shape} vs {sets[0].images.shape}."
+                )
+        images = np.stack([d.flat_images() for d in sets])
+        poses = np.stack([d.poses for d in sets])
+        return images, poses, cam
 
-    images, poses, camera = build_split("train", cfg.data.img_size)
-    val_size = cfg.data.img_size * (2 if cfg.data.half_res else 1)
-    val_images, val_poses, val_camera = build_split("val", val_size)
+    images, poses, camera = build_split("train")
+    val_images, val_poses, val_camera = build_split("val")
 
     settings = session.build_render_settings(cfg)
-    # generic XLA field: Pallas kernels cannot batch under the scene vmap
-    cfg.parallel.use_pallas = False
+    num_devices = jax.device_count()
+    mesh_size = (
+        _scene_mesh_size(num_scenes, num_devices)
+        if cfg.parallel.data_axis_size != 1
+        else 1
+    )
+    use_shardmap = mesh_size > 1 or jax.default_backend() == "tpu"
+    if not use_shardmap:
+        # generic XLA field: Pallas kernels cannot batch under the scene vmap
+        cfg.parallel.use_pallas = False
     field = session.build_field(cfg)
     optim_cfg = session.build_optim_config(cfg)
 
@@ -282,27 +311,34 @@ def _run_multiscene(cfg, args, log_dir: Path) -> None:
         state = restored
         print(f"Resumed from step {int(state.step)}.")
 
-    num_devices = jax.device_count()
-    mesh = None
-    if num_devices > 1 and cfg.parallel.data_axis_size != 1 and num_scenes % num_devices == 0:
+    if use_shardmap:
         from torch_nerf_tpu.parallel import make_mesh
 
-        mesh = make_mesh(("scene",))
-        print(f"Sharding {num_scenes} scenes over {num_devices} devices.")
-
-    def make_step(precrop):
-        return multiscene.make_multiscene_image_train_step(
-            field, settings, optim_cfg, camera, num_scenes,
-            num_pixels=cfg.renderer.num_pixels, precrop=precrop, mesh=mesh,
+        mesh = make_mesh(("scene",), devices=jax.devices()[:mesh_size])
+        print(
+            f"Sharding {num_scenes} scenes over {mesh_size} devices "
+            "(unbatched per-scene step; kernels enabled)."
         )
 
-    if mesh is not None:
+        def make_step(precrop):
+            return multiscene.make_multiscene_shardmap_step(
+                field, settings, optim_cfg, camera, num_scenes, mesh,
+                num_pixels=cfg.renderer.num_pixels, precrop=precrop,
+            )
+
         build_pre, place_state = make_step(True)
         build_full, _ = make_step(False)
         state = place_state(state)
         step_precrop = build_pre(state)
         step_full = build_full(state)
     else:
+
+        def make_step(precrop):
+            return multiscene.make_multiscene_image_train_step(
+                field, settings, optim_cfg, camera, num_scenes,
+                num_pixels=cfg.renderer.num_pixels, precrop=precrop,
+            )
+
         step_precrop = make_step(True)
         step_full = make_step(False)
 
@@ -313,7 +349,7 @@ def _run_multiscene(cfg, args, log_dir: Path) -> None:
     val_cfg = cfg.train_params.validation
     log_cfg = cfg.train_params.log
 
-    steps_per_epoch = max(1, cfg.data.num_views)
+    steps_per_epoch = max(1, images.shape[1])  # views per scene
     total_steps = max(1, optim_cfg.num_iter // steps_per_epoch) * steps_per_epoch
     if args.max_steps is not None:
         total_steps = min(total_steps, args.max_steps)

@@ -82,6 +82,62 @@ def build_dataset(cfg: cfg_mod.ExperimentConfig, split: str = "train") -> PosedI
     raise ValueError(f"Unsupported dataset_type '{data.dataset_type}'.")
 
 
+def multiscene_scene_names(cfg: cfg_mod.ExperimentConfig) -> list:
+    """The per-scene names of a multi-scene run: ``data.scene_name`` as a
+    comma-separated list (e.g. ``scene_name=lego,ship`` with
+    ``num_scenes=2`` — BASELINE configs[3]'s Blender-suite batching)."""
+    names = [s.strip() for s in cfg.data.scene_name.split(",") if s.strip()]
+    if len(names) != cfg.data.num_scenes:
+        raise ValueError(
+            f"data.num_scenes={cfg.data.num_scenes} needs that many "
+            f"comma-separated names in data.scene_name; got {names}."
+        )
+    return names
+
+
+def build_multiscene_dataset(
+    cfg: cfg_mod.ExperimentConfig, scene_idx: int, split: str = "train"
+) -> PosedImages:
+    """One scene of a multi-scene run (train CLI pools / render ``--scene``).
+
+    ``gaussian_blobs`` scenes are procedurally seeded from
+    ``cfg.seed * 1000 + scene_idx`` (the train CLI's convention), so render
+    and evaluate reconstruct scene N's ground truth exactly;
+    ``nerf_synthetic`` scenes come from the comma-separated
+    ``data.scene_name`` list.
+    """
+    data = cfg.data
+    if data.dataset_type == "gaussian_blobs":
+        size = data.img_size
+        if split != "train" and data.half_res:
+            size *= 2
+        scene = synthetic.GaussianBlobScene.random(cfg.seed * 1000 + scene_idx)
+        images, poses, camera, _ = synthetic.make_dataset(
+            num_views=data.num_views, img_size=size, scene=scene, split=split
+        )
+        v = images.shape[0]
+        return PosedImages(
+            images=images.reshape(v, size, size, 3),
+            poses=poses,
+            camera=camera,
+            render_poses=synthetic.orbit_poses(40),
+            image_names=[f"blob{scene_idx}_{split}_{i:03d}" for i in range(v)],
+        )
+    if data.dataset_type == "nerf_synthetic":
+        names = multiscene_scene_names(cfg)
+        return load_blender(
+            data.data_root,
+            names[scene_idx],
+            split=split,
+            half_res=data.half_res if split == "train" else False,
+            white_bg=data.white_bg,
+        )
+    raise ValueError(
+        "Multi-scene training supports dataset_type gaussian_blobs or "
+        f"nerf_synthetic; got '{data.dataset_type}'."
+    )
+
+
 def build_render_settings(
     cfg: cfg_mod.ExperimentConfig, dataset: Optional[PosedImages] = None
 ) -> RenderSettings:
