@@ -35,7 +35,8 @@ import numpy as np
 
 
 def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries, decay=0.0, smooth=0.0, occ_keep=0, occ_threshold=1e-2,
-                samples=128, init_lr=1e-2, end_lr=1e-3, width=64, pixels=1024):
+                samples=128, init_lr=1e-2, end_lr=1e-3, width=64, pixels=1024,
+                max_res=512, hierarchical=0):
     from torch_nerf_tpu import metrics, train
     from torch_nerf_tpu.fields_ngp import (
         make_encode_smoothness_loss,
@@ -44,13 +45,16 @@ def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries, de
     from torch_nerf_tpu.renderer import RenderSettings, render_image
 
     images, poses, camera, val = data
-    settings = RenderSettings(num_samples_coarse=samples, num_samples_fine=0)
+    settings = RenderSettings(
+        num_samples_coarse=samples, num_samples_fine=hierarchical
+    )
     field = make_instant_ngp_field(
         num_level=num_level,
         log_max_entry_per_level=log2_entries,
         table_feat_dim=feat_dim,
         density_feat_dim=width,
         color_feat_dim=width,
+        max_res=max_res,
         compute_dtype=jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32,
         table_layout=layout,
     )
@@ -96,7 +100,7 @@ def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries, de
     psnrs = []
     for i in range(val_images.shape[0]):
         img = render_image(
-            field, state.params["coarse"], None, val_camera,
+            field, state.params["coarse"], state.params.get("fine"), val_camera,
             jnp.asarray(val_poses[i]), jax.random.PRNGKey(2), settings,
         )
         gt = np.asarray(val_images[i]).reshape(val_camera.img_height, val_camera.img_width, 3)
@@ -112,6 +116,8 @@ def run_variant(name, layout, num_level, feat_dim, steps, data, log2_entries, de
         + ("" if end_lr == 1e-3 else f"_elr{end_lr:g}")
         + ("" if width == 64 else f"_w{width}")
         + ("" if pixels == 1024 else f"_px{pixels}")
+        + ("" if max_res == 512 else f"_mr{max_res}")
+        + ("" if not hierarchical else f"_hier{hierarchical}")
     )
     out = {
         "variant": name + tag,
@@ -178,6 +184,8 @@ def main():
     end_lr = float(next((a.split("=")[1] for a in sys.argv if a.startswith("--end-lr=")), 1e-3))
     width = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--width=")), 64))
     pixels = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--pixels=")), 1024))
+    max_res = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--max-res=")), 512))
+    hierarchical = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--hierarchical=")), 0))
     picks = [a for a in sys.argv[1:] if not a.startswith("--")]
     if not picks:
         picks = list(VARIANTS)
@@ -202,7 +210,8 @@ def main():
                 n, lay, l, f, int(per_steps or steps), data,
                 log2_entries=log2, decay=decay, smooth=smooth, occ_keep=occ_keep,
                 occ_threshold=occ_threshold, samples=samples, init_lr=init_lr,
-                end_lr=end_lr, width=width, pixels=pixels,
+                end_lr=end_lr, width=width, pixels=pixels, max_res=max_res,
+                hierarchical=hierarchical,
             )
         )
 
