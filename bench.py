@@ -180,24 +180,26 @@ def main(
         if peak:
             out["tflops"] = round(flops_per_step * iters / elapsed / 1e12, 1)
             out["mfu"] = round(flops_per_step * iters / elapsed / peak, 3)
-            # measured stage decomposition (scripts/experiments/
-            # flagship_step_decomposition.py on v5e, round 5 — after the
-            # (S, S) scan-mask redesign raised the tile to 24-32 rays):
-            # coarse kernel 10.0 ms (47.3% of peak), fine kernel 26.3 ms
-            # (54.1%), sampler 1.4 ms, Adam 2.5 ms — the stage sum exceeds
-            # the 37.2 ms full step, so sampler/Adam/glue overlap to a
-            # NEGATIVE residual and the fused kernels ARE the step. The
-            # residual to peak sits inside the kernel; three targeted VPU
-            # cuts (MXU bias-grad reductions, bf16 relu-mask min-trick,
-            # concat recompute) each moved throughput <1%, so the floor is
-            # not elementwise op count — see fused_train_ablation.py for
-            # the stage-isolated breakdown.
+            # measured stage decomposition (round 5, v5e). After the (S, S)
+            # scan-mask redesign, the poly-trig encode (vpu_ablation.py:
+            # XLA's sincos range reduction was 3.3 of the fine pass's 26 ms;
+            # power-of-two frequencies let fixed-point phase + a degree-9
+            # polynomial replace it), and the tile re-sweep to 32 rays
+            # (tile_sweep.py), the fused passes run 22.2 ms (fine, 192s) +
+            # 8.0 ms (coarse, 64s) against a ~29.7 ms full step — the stage
+            # sum still exceeds the step, so sampler/Adam/glue overlap to a
+            # NEGATIVE residual and the fused kernels ARE the step. Of the
+            # remaining gap to peak, ~86% is the MXU K/N-padding ceiling and
+            # the rest is in-kernel VPU-MXU serialization Mosaic cannot
+            # overlap (f32->bf16 conversion passes are mandatory: Mosaic
+            # rejects bf16 matmul accumulators) — see vpu_ablation.py.
             out["bound"] = (
-                "fused kernels at 47-54% of bf16 peak are the whole step "
+                "fused kernels at 55-64% of bf16 peak are the whole step "
                 "(glue/sampler/Adam overlap to a negative residual); "
                 "~86% is the MXU K/N-padding ceiling (63/319/257/283-wide "
-                "layers pad to 128 multiples); the rest is in-kernel "
-                "serialization — see fused_train_ablation.py"
+                "layers pad to 128 multiples); the rest is mandatory "
+                "f32->bf16 conversion passes and in-kernel VPU-MXU "
+                "serialization — see vpu_ablation.py / tile_sweep.py"
             )
     print(json.dumps(out))
 

@@ -132,3 +132,76 @@ def test_pallas_field_end_to_end_render():
     np.testing.assert_allclose(
         np.asarray(out["rgb_fine"]), np.asarray(out_ref["rgb_fine"]), rtol=1e-4, atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# fractional-cycle polynomial trig (the bf16 compute path's encode)
+
+
+def test_poly_trig_encode_matches_exact_below_bf16_resolution():
+    """_encode_poly (bf16 path) vs _encode_fast at the PRODUCTION encoder
+    (L=10 coords, inputs spanning +-8 — phase up to ~650 cycles at the top
+    frequency). Fit + fixed-point-phase error must stay ~an order of
+    magnitude under the 2^-8 bf16 quantum the MLP consumes."""
+    from torch_nerf_tpu.ops.pallas.fused_nerf import (
+        _encode_fast,
+        _encode_poly,
+        _encode_tables,
+    )
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(-8, 8, size=(512, 3)).astype(np.float32))
+    exact_t = [jnp.asarray(t) for t in _encode_tables(10, True)]
+    poly_t = [jnp.asarray(t) for t in _encode_tables(10, True, fast_trig=True)]
+
+    enc_ref, spread_ref = _encode_fast(x, exact_t, jnp.float32)
+    enc, spread = _encode_poly(x, poly_t, jnp.float32)
+    np.testing.assert_allclose(np.asarray(spread), np.asarray(spread_ref), rtol=0, atol=0)
+    err = np.abs(np.asarray(enc) - np.asarray(enc_ref)).max()
+    assert err < 4e-4, f"poly encode error {err} vs bf16 quantum 3.9e-3"
+
+
+def test_poly_trig_bwd_matches_exact():
+    from torch_nerf_tpu.ops.pallas.fused_nerf import (
+        _encode_fast_bwd,
+        _encode_poly,
+        _encode_poly_bwd,
+        _encode_tables,
+    )
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.uniform(-8, 8, size=(256, 3)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(256, 63)).astype(np.float32))
+    exact_t = [jnp.asarray(t) for t in _encode_tables(10, True)]
+    poly_t = [jnp.asarray(t) for t in _encode_tables(10, True, fast_trig=True)]
+
+    _, spread = _encode_poly(x, poly_t, jnp.float32)
+    dx_ref = np.asarray(_encode_fast_bwd(spread, g, exact_t))
+    dx = np.asarray(_encode_poly_bwd(spread, g, poly_t))
+    # derivative error ~ freq * cos-poly error (4e-5) summed over 63 columns
+    scale = np.abs(dx_ref).max()
+    np.testing.assert_allclose(dx, dx_ref, rtol=0, atol=2e-3 * max(scale, 1.0))
+
+
+def test_bf16_interpret_kernel_uses_poly_and_stays_close():
+    """End-to-end: the bf16 fused kernel (which routes through _encode_poly)
+    in interpret mode vs the f32 exact kernel — agreement at bf16 level,
+    proving the poly tables/wiring are consistent end to end."""
+    cfg16 = FusedNeRFConfig(
+        coord_encode_level=L_POS,
+        dir_encode_level=L_DIR,
+        feat_dim=FEAT,
+        tile=64,
+        compute_dtype=jnp.bfloat16,
+        interpret=True,
+    )
+    params = JNP_FIELD.init(jax.random.PRNGKey(13))
+    pts, dirs = _data(n=96, seed=14)
+    sigma16, rgb16 = fused_nerf_apply(params, pts, dirs, cfg16)
+    sigma32, rgb32 = fused_nerf_apply(params, pts, dirs, CFG)
+    np.testing.assert_allclose(
+        np.asarray(rgb16), np.asarray(rgb32), rtol=0, atol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(sigma16), np.asarray(sigma32), rtol=0.08, atol=0.25
+    )

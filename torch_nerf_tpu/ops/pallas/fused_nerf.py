@@ -65,11 +65,12 @@ class FusedNeRFConfig:
     tile: int = 1024
     # Point budget for the fully-fused TRAIN kernel tile (rays x samples).
     # Larger than ``tile``: the round-5 (S, S) scan masks freed the VMEM the
-    # old (T, T) block-diagonal masks consumed. 4608 (24 rays x 192 samples)
-    # leaves ~9 MB for the whole-array-resident ray/sample columns
-    # (fused_train.py "resident" mode) inside the ~110 MB scoped-VMEM stack;
-    # 6144 measured within noise of 4608 before residency and OOMs with it.
-    train_tile: int = 4608
+    # old (T, T) block-diagonal masks consumed. Swept after the poly-trig
+    # encode shrank the serial VPU block (scripts/experiments/tile_sweep.py):
+    # at 192 samples, 3072 -> 23.64 ms, 4608 -> 22.71, 6144 -> 22.18 (32
+    # rays, best), 9216+ fails VMEM-side compile; the 64-sample coarse pass
+    # agrees (6144 best).
+    train_tile: int = 6144
     compute_dtype: Any = jnp.bfloat16
     interpret: bool = False
 
@@ -87,13 +88,20 @@ class FusedNeRFConfig:
 
 
 @functools.lru_cache(maxsize=None)
-def _encode_tables(num_levels: int, include_input: bool):
+def _encode_tables(num_levels: int, include_input: bool, fast_trig: bool = False):
     """Constants for the spread encoding (passed to the kernel as inputs):
     selection matrix S (3, D), per-column frequencies, and float sin/identity
     column masks (cos mask = 1 - sin - id).
 
     Column layout matches encoders.positional_encoding: [x, y, z,
     sin(2^0 xyz), cos(2^0 xyz), sin(2^1 xyz), ...].
+
+    ``fast_trig`` swaps the (freq, sin_mask) tables for (freq/2pi, quarter)
+    used by the fractional-cycle polynomial encode (``_encode_poly``); the
+    id_mask column keeps both variants' blend working. fcyc is 0 on identity
+    columns (their poly output is masked out, and a zero argument keeps it
+    finite); quarter is 0.25 on cos columns (cos x = sin(x + pi/2), i.e. a
+    quarter cycle).
     """
     dim = 2 * num_levels * 3 + (3 if include_input else 0)
     sel = np.zeros((3, dim), dtype=np.float32)
@@ -120,6 +128,10 @@ def _encode_tables(num_levels: int, include_input: bool):
             freq[col] = f
             col += 1
     assert col == dim
+    if fast_trig:
+        fcyc = freq * (1.0 - id_mask) / (2.0 * np.pi)
+        quarter = (1.0 - sin_mask - id_mask) * 0.25
+        return sel, fcyc.reshape(1, -1), quarter.reshape(1, -1), id_mask.reshape(1, -1)
     return sel, freq.reshape(1, -1), sin_mask.reshape(1, -1), id_mask.reshape(1, -1)
 
 
@@ -146,6 +158,84 @@ def _encode_fast_bwd(spread, g, tables):
         id_mask * g
         + freq * (sin_mask * jnp.cos(y) - cos_mask * jnp.sin(y)) * g
     )
+    return jax.lax.dot_general(
+        dspread,
+        sel,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+# -- fractional-cycle polynomial trig (bf16 compute path only) --------------
+#
+# The vpu_ablation.py measurement: the sin+cos block is 3.3 ms of the 26 ms
+# fused fine pass, and computing ONE transcendental instead of two saves
+# almost nothing — XLA's sincos shares its RANGE REDUCTION, which is the
+# actual cost. The encoder's frequencies are powers of two, so the reduction
+# collapses to fixed-point arithmetic: with v = f*p / 2pi (phase in CYCLES,
+# pre-shifted a quarter cycle on cos columns), r = v - round(v) lands in
+# [-0.5, 0.5] in two VPU ops, and a degree-9 polynomial evaluates
+# sin(2pi r) to 6.3e-6 absolute (cos 4.1e-5) — ~30x below the bf16
+# resolution (2^-8 ~ 3.9e-3) the MLP consumes, but far above f32, which is
+# why this path is gated on compute_dtype == bfloat16 (the f32/interpret
+# path keeps exact sin/cos and its 1e-5-rtol parity tests).
+#
+# Phase exactness: v carries f32 rounding of ~v * 2^-24 cycles; at the
+# highest production frequency (2^9) and |p| <= 8 that is < 4e-5 cycles =
+# 2.5e-4 rad of argument error — also below bf16 resolution.
+#
+# Minimax-fitted on [-0.5, 0.5] (odd/even symmetry; scripts in-tree fit
+# these with a weighted-lstsq Remez pass):
+_SIN_POLY = (6.28305587, -41.33121848, 81.36688356, -74.4784113, 32.782198)
+_COS_POLY = (0.99995982, -19.73104585, 64.67352821, -82.40425879, 45.64814376)
+
+
+def _use_poly_trig(cfg) -> bool:
+    return cfg.compute_dtype == jnp.bfloat16
+
+
+def _frac_cycle(spread, fcyc, quarter):
+    v = spread * fcyc + quarter
+    return v - jnp.round(v)
+
+
+def _poly_odd(r, coeffs):
+    r2 = r * r
+    acc = jnp.float32(coeffs[-1])
+    for c in coeffs[-2::-1]:
+        acc = acc * r2 + jnp.float32(c)
+    return r * acc
+
+
+def _poly_even(r, coeffs):
+    r2 = r * r
+    acc = jnp.float32(coeffs[-1])
+    for c in coeffs[-2::-1]:
+        acc = acc * r2 + jnp.float32(c)
+    return acc
+
+
+def _encode_poly(x, tables, dtype):
+    """(T, 3) -> ((T, D) encoding, (T, D) f32 spread) — poly-trig variant.
+
+    ``tables`` = (sel, fcyc, quarter, id_mask) from
+    ``_encode_tables(..., fast_trig=True)``. Matches ``_encode_fast`` to
+    well below bf16 resolution at ~1/3 the VPU cost (no range reduction).
+    """
+    sel, fcyc, quarter, id_mask = tables
+    spread = jnp.dot(x, sel, preferred_element_type=jnp.float32)
+    s = _poly_odd(_frac_cycle(spread, fcyc, quarter), _SIN_POLY)
+    enc = s + id_mask * (spread - s)
+    return enc.astype(dtype), spread
+
+
+def _encode_poly_bwd(spread, g, tables):
+    """VJP of _encode_poly: d enc/d spread = id + (1-id) * cos(2pi r) * f
+    (f = 2pi * fcyc, the original per-column angular frequency)."""
+    sel, fcyc, quarter, id_mask = tables
+    r = _frac_cycle(spread, fcyc, quarter)
+    dtrig = _poly_even(r, _COS_POLY) * (fcyc * jnp.float32(2.0 * np.pi))
+    dspread = (dtrig + id_mask * (1.0 - dtrig)) * g
     return jax.lax.dot_general(
         dspread,
         sel,
@@ -271,8 +361,9 @@ def _forward_tile(
     grads, and the (T, 90) f32 pair costs ~2.2 MB of VMEM at its tile)."""
     dt = cfg.compute_dtype
     fd = cfg.feat_dim
-    pe, pe_spread = _encode_fast(pts, pos_tables, dt)
-    de, de_spread = _encode_fast(dirs, dir_tables, dt)
+    encode = _encode_poly if _use_poly_trig(cfg) else _encode_fast
+    pe, pe_spread = encode(pts, pos_tables, dt)
+    de, de_spread = encode(dirs, dir_tables, dt)
 
     acts = {"pe": pe, "de": de}
     if keep_spreads:
@@ -386,8 +477,9 @@ def _backward_tile(
     dpe = dpe + dh.astype(jnp.float32)
 
     if want_input_grads:
-        dpts = _encode_fast_bwd(acts["pe_spread"], dpe, pos_tables)
-        ddirs = _encode_fast_bwd(acts["de_spread"], dde, dir_tables)
+        enc_bwd = _encode_poly_bwd if _use_poly_trig(cfg) else _encode_fast_bwd
+        dpts = enc_bwd(acts["pe_spread"], dpe, pos_tables)
+        ddirs = enc_bwd(acts["de_spread"], dde, dir_tables)
         return grads, dpts, ddirs
     return grads, None, None
 
@@ -463,8 +555,15 @@ def fused_nerf_apply(
 
 
 def _table_arrays(cfg: FusedNeRFConfig):
-    pos = [jnp.asarray(t) for t in _encode_tables(cfg.coord_encode_level, cfg.include_input)]
-    dirs = [jnp.asarray(t) for t in _encode_tables(cfg.dir_encode_level, cfg.include_input)]
+    fast = _use_poly_trig(cfg)
+    pos = [
+        jnp.asarray(t)
+        for t in _encode_tables(cfg.coord_encode_level, cfg.include_input, fast)
+    ]
+    dirs = [
+        jnp.asarray(t)
+        for t in _encode_tables(cfg.dir_encode_level, cfg.include_input, fast)
+    ]
     return pos + dirs
 
 
