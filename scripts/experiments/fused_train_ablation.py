@@ -13,6 +13,11 @@ Round-5 findings this script produced (4096 rays x 192 samples):
   efficiency; with the ~86% K/N-padding ceiling (63/319/257/283-wide layers
   pad to 128) this explains the ~0.55 whole-step MFU.
 
+Sequels: vpu_ablation.py isolated the sin/cos block inside the ~5 ms gap
+(3.28 ms — XLA's shared range reduction) and drove the poly-trig encode;
+tile_sweep.py re-swept the tile after it (24 -> 32 rays). Together:
+120k -> 138k rays/s.
+
 Run on the real TPU: python scripts/experiments/fused_train_ablation.py
 """
 

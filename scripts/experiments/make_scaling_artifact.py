@@ -45,7 +45,9 @@ def run_mode(weak: bool):
         "--platform", "cpu",
     ]
     if weak:
-        cmd.append("--weak")
+        # per-device batch: 1024 x 8 devices = 8192 rays stays inside the
+        # 128^2-pixel view pool the harness samples without replacement
+        cmd += ["--weak", "--num-pixels", "1024"]
     out = subprocess.run(
         cmd, env=env, cwd=REPO, capture_output=True, text=True, timeout=1800
     )

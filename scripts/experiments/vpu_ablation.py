@@ -42,8 +42,6 @@ import time
 
 sys.path.insert(0, ".")
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -88,12 +86,6 @@ def timeit(f, iters=30):
 
 
 # --- patchable stand-ins ----------------------------------------------------
-
-_orig_encode = fn._encode_fast
-_orig_mm = fn._mm
-_orig_mm_nt = fn._mm_nt
-_orig_relu_grad = fn._relu_grad
-
 
 def _encode_single_sin(x, tables, dtype):
     sel, freq, sin_mask, id_mask = tables
