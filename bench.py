@@ -16,6 +16,11 @@ the same budget. ``--occupancy[=KEEP]`` enables occupancy-grid sample
 pruning (opt-in: its error is threshold-bounded only on scenes with real
 empty space; on the soft procedural scene it costs ~4.6 dB at 2:1).
 
+``--render`` measures INFERENCE instead: full 800x800 frames (the
+reference's render resolution) through the compiled ``lax.map`` render
+path, fwd only — the serving-side number next to the training headline.
+Composes with ``--model=instant_nerf``.
+
 ``vs_baseline``: the reference publishes no numbers (SURVEY.md §6). The
 denominator is an estimated reference throughput of 40,960 rays/s — 10
 steps/s x 4096 rays for torch-NeRF's unfused per-image pipeline on a
@@ -31,6 +36,90 @@ import jax
 import jax.numpy as jnp
 
 REFERENCE_RAYS_PER_SEC = 10.0 * 4096.0
+
+
+def render_bench(model: str) -> None:
+    """``--render``: inference throughput — full 800x800 frames (the
+    reference's val/render resolution, ``runners/render.py:45``) through
+    ``renderer.render_image`` (compiled ``lax.map`` over ray chunks), fwd
+    only, fused kernels. Prints one JSON line with rays/s and s/frame."""
+    from torch_nerf_tpu import train
+    from torch_nerf_tpu.datasets import synthetic
+    from torch_nerf_tpu.fields import make_nerf_field
+    from torch_nerf_tpu.renderer import RenderSettings, render_image
+
+    on_tpu = jax.default_backend() != "cpu"
+    compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    if model == "instant_nerf":
+        from torch_nerf_tpu import config as cfg_mod
+        from torch_nerf_tpu.fields_ngp import make_instant_ngp_field
+
+        net = cfg_mod.instant_nerf_tpu_config().network
+        settings = RenderSettings(
+            num_samples_coarse=256, num_samples_fine=0, t_near=2.0, t_far=6.0
+        )
+        field = make_instant_ngp_field(
+            num_level=net.num_level,
+            log_max_entry_per_level=net.log_max_entry_per_level,
+            table_feat_dim=net.table_feat_dim,
+            compute_dtype=compute_dtype,
+            table_layout=net.table_layout,
+        )
+        samples = 256
+        unit = (
+            f"rays/s (inference fwd, 800x800 frames, 256 samples, "
+            f"instant-NGP {net.table_layout} hash grid)"
+        )
+    else:
+        settings = RenderSettings(
+            num_samples_coarse=64, num_samples_fine=128, t_near=2.0, t_far=6.0
+        )
+        field = make_nerf_field(compute_dtype=compute_dtype, use_pallas=on_tpu)
+        samples = 64 + 192
+        unit = (
+            "rays/s (inference fwd, 800x800 frames, 64c+192f hierarchical "
+            "NeRF, fused kernel)"
+        )
+
+    _, poses, camera, _ = synthetic.make_dataset(num_views=1, img_size=800)
+    optim = train.OptimConfig()
+    state = train.create_train_state(jax.random.PRNGKey(0), field, settings, optim)
+    pose = jnp.asarray(poses[0])
+
+    def frame(key):
+        return render_image(
+            field,
+            state.params["coarse"],
+            state.params.get("fine"),
+            camera,
+            pose,
+            key,
+            settings,
+            chunk_size=4096,
+        )
+
+    frame_j = jax.jit(frame)
+    jax.block_until_ready(frame_j(jax.random.PRNGKey(1)))  # compile
+    frames = 5 if on_tpu else 1
+    start = time.perf_counter()
+    for i in range(frames):
+        img = frame_j(jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(img)
+    elapsed = time.perf_counter() - start
+
+    rays = 800 * 800 * frames
+    print(
+        json.dumps(
+            {
+                "metric": "render_rays_per_sec_per_chip",
+                "value": round(rays / elapsed, 1),
+                "unit": unit,
+                "seconds_per_frame": round(elapsed / frames, 3),
+                "samples_per_ray": samples,
+                "vs_baseline": round(rays / elapsed / REFERENCE_RAYS_PER_SEC, 3),
+            }
+        )
+    )
 
 
 def main(
@@ -208,6 +297,9 @@ if __name__ == "__main__":
     import sys
 
     argv = sys.argv[1:]
+    if "--render" in argv:
+        render_bench("instant_nerf" if "--model=instant_nerf" in argv else "nerf")
+        sys.exit(0)
     main(
         "instant_nerf" if "--model=instant_nerf" in argv else "nerf",
         next((a.split("=")[1] for a in argv if a.startswith("--layout=")), None),
